@@ -1,0 +1,213 @@
+"""Host-side acceleration-structure build: the flat cluster hierarchy.
+
+TPU-native rethink of the reference's build (/root/reference/src/opt.rs):
+the reference stable-sorts triangles by vertex index for spatial locality
+(`optimize_model`, opt.rs:11-36), then packs groups of 8 into SIMD packets
+and groups of 64 under 8-wide AABB cluster nodes (`pack_model`,
+opt.rs:38-80). Here the same idea maps to TPU tiling: triangles are sorted
+by Morton code of their centroid (a strictly better locality sort; the
+reference's index sort is also available for parity), packed into
+lane-aligned clusters of `cluster_size` (default 128 = one VPU lane row),
+padded with degenerate triangles, and each cluster gets an AABB. Traversal
+tests a ray against all cluster AABBs (vectorized), then only intersects
+triangles of hit clusters — tile-granular skipping in the Pallas kernel,
+mask-granular in the XLA fallback.
+
+The accel stores only integer orderings and (detached) float bounds: the
+packed Möller–Trumbore triangle form is re-gathered from the live vertex
+pool at trace time (`packed_triangles`), so the structure never blocks
+gradient flow to vertices.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracing_tpu.geometry.mesh import Mesh
+from raytracing_tpu.ops.intersect import INF, TriangleSoA, moller_trumbore, slab_test
+from raytracing_tpu.ops.trace import Hit
+
+
+class ClusterAccel(NamedTuple):
+    """Flat single-level cluster structure over the scene's triangles.
+
+    order:       [S] i32 — packed slot -> original triangle id (padding
+                 slots repeat id 0 and are killed by slot_valid).
+    slot_valid:  [S] bool — False for padding slots.
+    cluster_min: [C, 3] f32 — per-cluster AABB (C = S / cluster_size).
+    cluster_max: [C, 3] f32
+    """
+
+    order: jnp.ndarray
+    slot_valid: jnp.ndarray
+    cluster_min: jnp.ndarray
+    cluster_max: jnp.ndarray
+
+    @property
+    def num_clusters(self) -> int:
+        return self.cluster_min.shape[0]
+
+    @property
+    def cluster_size(self) -> int:
+        return self.order.shape[0] // self.cluster_min.shape[0]
+
+
+def _morton_codes(centroids: np.ndarray) -> np.ndarray:
+    """30-bit Morton (Z-order) codes of points normalized to the scene AABB."""
+    lo = centroids.min(axis=0)
+    hi = centroids.max(axis=0)
+    q = ((centroids - lo) / np.maximum(hi - lo, 1e-20) * 1023.0).astype(np.uint32)
+    q = np.minimum(q, 1023)
+
+    def expand(v):  # spread 10 bits to every 3rd bit
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return (expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1) | expand(q[:, 2])
+
+
+def _index_sort_order(tri_v: np.ndarray) -> np.ndarray:
+    """The reference's locality sort (`optimize_model`, opt.rs:11-36):
+    stable sort by min vertex index ascending, max vertex index descending."""
+    mn = tri_v.min(axis=1).astype(np.int64)
+    mx = tri_v.max(axis=1).astype(np.int64)
+    return np.lexsort((-mx, mn)).astype(np.int32)
+
+
+def build_cluster_accel(
+    mesh: Mesh, cluster_size: int = 128, method: str = "morton"
+) -> ClusterAccel:
+    """Host-side (numpy) build. `method`: "morton" (default) or "index"
+    (reference-parity locality sort). Objects are packed independently so a
+    cluster never spans two objects (mirroring the per-object build of
+    opt.rs; keeps cluster AABBs tight when objects are far apart)."""
+    verts = np.asarray(mesh.verts)
+    tri_v = np.asarray(mesh.tri_v)
+    obj_id = np.asarray(mesh.obj_id)
+
+    order_parts = []
+    for oi in range(int(obj_id.max()) + 1 if obj_id.size else 0):
+        sel = np.nonzero(obj_id == oi)[0]
+        tv = tri_v[sel]
+        if method == "index":
+            sub = _index_sort_order(tv)
+        else:
+            cent = verts[tv].mean(axis=1)
+            codes = _morton_codes(cent)
+            from raytracing_tpu.geometry import native
+
+            nat = native.morton_order(cent) if native.available() else None
+            sub = nat if nat is not None else np.argsort(codes, kind="stable")
+        part = sel[sub]
+        # Pad each object's slot range to a full cluster so clusters don't
+        # straddle objects.
+        pad = (-len(part)) % cluster_size
+        if pad:
+            part = np.concatenate([part, np.full(pad, -1, dtype=part.dtype)])
+        order_parts.append(part)
+
+    order = np.concatenate(order_parts).astype(np.int64)
+    valid = order >= 0
+    order = np.where(valid, order, 0)
+
+    # Cluster AABBs over the actual vertices of valid member triangles.
+    c = len(order) // cluster_size
+    tri_verts = verts[tri_v[order]]  # [S, 3 verts, 3]
+    big = np.float32(1e30)
+    vmin = np.where(valid[:, None, None], tri_verts, big).reshape(c, -1, 3).min(axis=1)
+    vmax = np.where(valid[:, None, None], tri_verts, -big).reshape(c, -1, 3).max(axis=1)
+    return ClusterAccel(
+        order=jnp.asarray(order.astype(np.int32)),
+        slot_valid=jnp.asarray(valid),
+        cluster_min=jnp.asarray(vmin.astype(np.float32)),
+        cluster_max=jnp.asarray(vmax.astype(np.float32)),
+    )
+
+
+def packed_triangles(mesh: Mesh, accel: ClusterAccel) -> TriangleSoA:
+    """Gather the Möller–Trumbore-ready triangle SoA in packed (cluster)
+    order from the live vertex pool — differentiable w.r.t. mesh.verts.
+    Padding slots get e1 = e2 = 0 (det 0 -> always miss), the TPU version of
+    the reference's hard 8-exactly packing contract (simd_accel.rs:20-22)."""
+    tv = mesh.tri_v[accel.order]
+    va = mesh.verts[tv[:, 0]]
+    vb = mesh.verts[tv[:, 1]]
+    vc = mesh.verts[tv[:, 2]]
+    m = accel.slot_valid[:, None].astype(mesh.verts.dtype)
+    return TriangleSoA(v0=va, e1=(vb - va) * m, e2=(vc - va) * m)
+
+
+def _cluster_scan(tri: TriangleSoA, accel: ClusterAccel, o, d, eps, nearest: bool,
+                  t_max=INF):
+    """Shared XLA cluster walk: scan clusters, slab-cull, intersect members.
+
+    Pure-XLA semantics note: culled work is masked, not skipped (SIMD); the
+    Pallas kernel (kernels/traverse.py) performs real tile-level skipping.
+    """
+    cs = accel.cluster_size
+    c = accel.num_clusters
+    v0 = tri.v0.reshape(c, cs, 3)
+    e1 = tri.e1.reshape(c, cs, 3)
+    e2 = tri.e2.reshape(c, cs, 3)
+    slots = jnp.arange(c * cs, dtype=jnp.int32).reshape(c, cs)
+    # Clamp near-zero components before the reciprocal: IEEE inf in the slab
+    # test turns into NaN via 0 * inf when a ray origin sits exactly on a
+    # cluster boundary (the reference's `recip` precompute has the same
+    # latent issue, objects.rs:64-74); the clamp treats axis-parallel rays
+    # as infinitesimally diverging, which only loosens culling.
+    d_safe = jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+    inv_d = 1.0 / d_safe
+    r = o.shape[0]
+    tm = jnp.broadcast_to(jnp.asarray(t_max, dtype=o.dtype), (r,))
+
+    def body(carry, blk):
+        best_t, best_i, occ = carry
+        bv0, be1, be2, bslot, bmin, bmax = blk
+        limit = best_t if nearest else tm
+        in_box = slab_test(o, inv_d, bmin, bmax, limit)
+        t, valid = moller_trumbore(o[:, None, :], d[:, None, :],
+                                   TriangleSoA(bv0, be1, be2),
+                                   limit[:, None], eps)
+        t = jnp.where(in_box[:, None], t, INF)
+        if nearest:
+            j = jnp.argmin(t, axis=1)
+            tj = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
+            better = tj < best_t
+            best_t = jnp.where(better, tj, best_t)
+            best_i = jnp.where(better, bslot[j], best_i)
+        else:
+            occ = occ | (in_box & jnp.any(valid, axis=1))
+        return (best_t, best_i, occ), None
+
+    init = (jnp.full(r, INF, dtype=o.dtype),
+            jnp.zeros(r, dtype=jnp.int32),
+            jnp.zeros(r, dtype=bool))
+    (t, i, occ), _ = jax.lax.scan(
+        body, init,
+        (v0, e1, e2, slots, accel.cluster_min, accel.cluster_max))
+    return t, i, occ
+
+
+def nearest_hit_cluster(
+    mesh: Mesh, accel: ClusterAccel, o, d, eps: float = 1e-8
+) -> Hit:
+    """Nearest hit through the cluster structure (XLA backend). Returns
+    original triangle ids (accel.order applied)."""
+    tri = packed_triangles(mesh, accel)
+    t, slot, _ = _cluster_scan(tri, accel, o, d, eps, nearest=True)
+    return Hit(t=t, tri=accel.order[slot], hit=jnp.isfinite(t))
+
+
+def any_hit_cluster(
+    mesh: Mesh, accel: ClusterAccel, o, d, t_max=INF, eps: float = 1e-8
+) -> jnp.ndarray:
+    tri = packed_triangles(mesh, accel)
+    _, _, occ = _cluster_scan(tri, accel, o, d, eps, nearest=False, t_max=t_max)
+    return occ

@@ -1,0 +1,78 @@
+"""Configuration system.
+
+The reference has no config at all — compile-time consts (`main.rs:29-36`), a
+hardcoded scene (`main.rs:406-448`) and a `// TODO: Use clap for CLI params`
+(`main.rs:382`). Here every knob is an explicit, hashable dataclass so configs
+can be passed as static arguments through `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+def _u8(r: int, g: int, b: int) -> Tuple[float, float, float]:
+    return (r / 255.0, g / 255.0, b / 255.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render parameters.
+
+    Defaults mirror the reference's compile-time constants
+    (`/root/reference/src/main.rs:29-36`) and shading constants:
+    800x800, SCALE=1, 4 stratified samples (2x2), REFLECT_DEPTH=4,
+    DIFFUSE_DEPTH=2, DIFFUSE_SCATT=10, sky #87ceeb, gamma 2.2,
+    normal offset 1e-5.
+    """
+
+    width: int = 800
+    height: int = 800
+    scale: float = 1.0
+    # 2x2 stratified supersampling (`main.rs:321-365`). Must be a square
+    # number; sample s sits at sub-pixel offset derived from a sqrt(spp) grid.
+    samples_per_pixel: int = 4
+    reflect_depth: int = 4
+    diffuse_depth: int = 2
+    diffuse_scatter: int = 10
+    sky_color: Tuple[float, float, float] = _u8(0x87, 0xCE, 0xEB)
+    gamma: float = 2.2
+    # Hit points are pushed off the surface along the face normal to avoid
+    # self-intersection (`main.rs:121-124`).
+    normal_offset: float = 1e-5
+    # Möller–Trumbore epsilon for determinant / t acceptance.
+    eps: float = 1e-8
+    # Primary rays per wavefront chunk. Each chunk expands by a factor of
+    # (1 + diffuse_scatter) at the secondary levels, so the live ray count is
+    # chunk_size * 11 * levels; 16Ki keeps that well inside HBM.
+    chunk_size: int = 16384
+    # Intersection backend: "bruteforce" (oracle), "cluster" (two-level
+    # packet hierarchy, pure XLA), "pallas" (Pallas TPU megakernel).
+    backend: str = "cluster"
+    # Whether shading normals are the precomputed face normals carried on the
+    # mesh (reference behaviour, `objects.rs:206-220`) or recomputed
+    # differentiably from vertices ("geometric") so gradients flow to verts.
+    normals: str = "stored"
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def spp_grid(self) -> int:
+        n = int(round(self.samples_per_pixel ** 0.5))
+        if n * n != self.samples_per_pixel:
+            raise ValueError("samples_per_pixel must be a square number")
+        return n
+
+
+# Reference scene materials (`main.rs:426-447`): Material::new(albedo,
+# reflectivity, roughness); albedo is stored pre-divided by pi
+# (`objects.rs:184-190`) — we keep the same convention in Mesh.materials.
+TEAPOT1_MATERIAL = (1.0, 0.9, 0.1)
+TEAPOT2_MATERIAL = (1.0, 0.025, 0.975)
+GROUND_MATERIAL = (1.0, 0.0, 1.0)
+
+TEAPOT1_COLOR = _u8(0x50, 0xC8, 0x78)
+TEAPOT2_COLOR = _u8(0xFF, 0x00, 0x00)
+GROUND_COLOR = _u8(128, 128, 128)

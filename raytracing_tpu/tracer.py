@@ -1,0 +1,67 @@
+"""Backend dispatch for scene intersection queries.
+
+One call surface, three engines:
+  "bruteforce" — ops/trace.py, the oracle (works on any backend incl. CPU)
+  "cluster"    — accel/packets.py, flat cluster hierarchy in pure XLA
+  "pallas"     — kernels/traverse.py, Pallas TPU megakernel (tile-granular
+                 cluster skipping — the reference's early-out traversal,
+                 main.rs:93-171, reborn at ray-tile granularity)
+
+The backend string lives in the static RenderConfig, so the choice is a
+trace-time Python branch — zero runtime dispatch under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from raytracing_tpu.accel.packets import (
+    ClusterAccel,
+    any_hit_cluster,
+    nearest_hit_cluster,
+)
+from raytracing_tpu.config import RenderConfig
+from raytracing_tpu.geometry.mesh import Mesh, triangle_soa
+from raytracing_tpu.ops.intersect import INF
+from raytracing_tpu.ops.trace import Hit, any_hit_brute, nearest_hit_brute
+
+
+def nearest_hit(
+    mesh: Mesh,
+    accel: Optional[ClusterAccel],
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    config: RenderConfig,
+) -> Hit:
+    if config.backend == "bruteforce" or accel is None:
+        tri = triangle_soa(mesh.verts, mesh.tri_v)
+        return nearest_hit_brute(tri, o, d, config.eps)
+    if config.backend == "cluster":
+        return nearest_hit_cluster(mesh, accel, o, d, config.eps)
+    if config.backend == "pallas":
+        from raytracing_tpu.kernels.traverse import nearest_hit_pallas
+
+        return nearest_hit_pallas(mesh, accel, o, d, config.eps)
+    raise ValueError(f"unknown backend {config.backend!r}")
+
+
+def any_hit(
+    mesh: Mesh,
+    accel: Optional[ClusterAccel],
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    config: RenderConfig,
+    t_max=INF,
+) -> jnp.ndarray:
+    if config.backend == "bruteforce" or accel is None:
+        tri = triangle_soa(mesh.verts, mesh.tri_v)
+        return any_hit_brute(tri, o, d, t_max, config.eps)
+    if config.backend == "cluster":
+        return any_hit_cluster(mesh, accel, o, d, t_max, config.eps)
+    if config.backend == "pallas":
+        from raytracing_tpu.kernels.traverse import any_hit_pallas
+
+        return any_hit_pallas(mesh, accel, o, d, config.eps, t_max)
+    raise ValueError(f"unknown backend {config.backend!r}")
