@@ -14,8 +14,14 @@ def gamma_correct(rgb: jnp.ndarray, gamma: float = 2.2) -> jnp.ndarray:
     """Per-channel pow(1/gamma), applied once at the top of the ray tree —
     the reference applies it per primary sample at depth == 1
     (main.rs:306-310) *before* averaging the 4 samples; callers must match
-    that ordering for parity. Clamps negatives to 0 to keep gradients finite."""
-    return jnp.power(jnp.maximum(rgb, 0.0), 1.0 / gamma)
+    that ordering for parity.
+
+    Gradient-safety: d/dx x^(1/2.2) -> inf at x = 0 (black pixels are
+    common: shadowed hits), so the pow is evaluated at a clamped argument
+    and exact zeros pass through a where() — forward values match the
+    reference's plain powf for x = 0 and x >= 1e-6."""
+    y = jnp.power(jnp.maximum(rgb, 1e-6), 1.0 / gamma)
+    return jnp.where(rgb <= 0.0, 0.0, y)
 
 
 def to_u8(rgb: jnp.ndarray) -> jnp.ndarray:

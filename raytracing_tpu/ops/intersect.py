@@ -63,9 +63,13 @@ def moller_trumbore(
     """
     pvec = cross(d, tri.e2)
     det = dot(tri.e1, pvec)
-    # No early-out branches: on TPU all lanes compute; reciprocal of a ~0
-    # det yields inf/nan which the mask kills.
-    inv_det = 1.0 / det
+    # No early-out branches: on TPU all lanes compute; the mask kills bad
+    # lanes. The division is taken against a mask-safe det: a raw 1/0 = inf
+    # would be fine forward (masked) but poisons reverse-mode with 0*inf
+    # NaNs through the product-rule cotangents — the where() must be
+    # *inside* the division, the standard JAX safe-grad idiom.
+    safe_det = jnp.where(jnp.abs(det) >= eps, det, 1.0)
+    inv_det = 1.0 / safe_det
     s = o - tri.v0
     u = dot(s, pvec) * inv_det
     qvec = cross(s, tri.e1)
@@ -123,7 +127,7 @@ def ray_sphere(
     c = dot(oc, oc) - radius * radius
     disc = half_b * half_b - a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t = (-half_b - sq) / a
+    t = (-half_b - sq) / jnp.where(jnp.abs(a) >= eps, a, 1.0)
     valid = (disc > 0.0) & (t > eps) & (t < t_max)
     return jnp.where(valid, t, INF), valid
 

@@ -1,0 +1,140 @@
+"""Multi-device scaling: shard the ray batch, replicate the scene.
+
+The reference's only parallelism is a rayon thread pool over scanlines
+(/root/reference/src/main.rs:317-319) inside one process. The TPU-native
+counterpart (SURVEY.md §2.8): a 1-D `jax.sharding.Mesh` over all chips
+(ICI-connected; extends to multi-host pods via jax.distributed), primary
+rays sharded along the "rays" axis with `shard_map`, geometry/BVH/materials
+replicated, and — for inverse rendering — parameter gradients `pmean`-ed
+across the mesh so every device steps identically. Rays are independent, so
+the forward pass needs zero cross-device traffic; the only collectives are
+the gradient/loss reductions, which XLA overlaps with the backward pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from raytracing_tpu.accel.packets import ClusterAccel
+from raytracing_tpu.config import RenderConfig
+from raytracing_tpu.geometry.mesh import Mesh, Scene
+from raytracing_tpu.models.camera import camera_rays
+from raytracing_tpu.models.whitted import render_rays
+
+RAY_AXIS = "rays"
+
+
+def make_device_mesh(n_devices: Optional[int] = None) -> DeviceMesh:
+    """1-D mesh over the first n devices (all by default)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return DeviceMesh(np.asarray(devs), (RAY_AXIS,))
+
+
+def _pad_to(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    pad = (-x.shape[0]) % m
+    if pad:
+        x = jnp.concatenate([x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])])
+    return x
+
+
+def render_sharded(
+    scene: Scene,
+    config: RenderConfig,
+    device_mesh: DeviceMesh,
+    accel: Optional[ClusterAccel] = None,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Full-frame render with primary rays sharded across the mesh.
+
+    Geometry and accel are replicated (in_specs P()); each device renders
+    its ray shard with a device-unique RNG stream; the image is re-assembled
+    by the output sharding (no collective needed — rays are independent).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_dev = device_mesh.devices.size
+    o, d = camera_rays(config)
+    spp, h, w = o.shape[:3]
+    r = spp * h * w
+    o = _pad_to(o.reshape(r, 3), n_dev * config.chunk_size)
+    d = _pad_to(d.reshape(r, 3), n_dev * config.chunk_size)
+
+    def local(mesh: Mesh, accel_, sun, o_l, d_l, key_):
+        key_l = jax.random.fold_in(key_, jax.lax.axis_index(RAY_AXIS))
+        chunk = config.chunk_size
+        nc = o_l.shape[0] // chunk
+        keys = jax.random.split(key_l, nc)
+        rgb = jax.lax.map(
+            lambda args: render_rays(mesh, accel_, sun, args[0], args[1],
+                                     args[2], config),
+            (o_l.reshape(nc, chunk, 3), d_l.reshape(nc, chunk, 3), keys),
+        )
+        return rgb.reshape(-1, 3)
+
+    fn = shard_map(
+        local,
+        mesh=device_mesh,
+        in_specs=(P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )
+    rgb = fn(scene.mesh, accel, scene.sun, o, d, key)[:r]
+    return rgb.reshape(spp, h, w, 3).mean(axis=0)
+
+
+def make_train_step(
+    config: RenderConfig,
+    optimizer: Any,
+    device_mesh: DeviceMesh,
+    loss_weights: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> Callable:
+    """Build a pjit-able inverse-rendering training step.
+
+    params: dict of differentiable scene parameters (any subset of
+    {"verts", "colors", "materials"}); the step renders the sharded ray
+    batch against a (sharded) target image, takes the L2 pixel loss, pmean's
+    gradients over the ray axis, and applies the optax update identically on
+    every device — the `psum`-overlapped-with-backward data-parallel recipe
+    of BASELINE config 4/5.
+
+    Returned step signature:
+      step(params, opt_state, static_mesh, accel, sun, o, d, target, key)
+        -> (params, opt_state, loss)
+    with o/d/target sharded on the ray axis, everything else replicated.
+    """
+
+    def local_step(params, opt_state, base_mesh: Mesh, accel, sun, o, d,
+                   target, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
+
+        def loss_fn(p):
+            m = base_mesh._replace(**p)
+            rgb = render_rays(m, accel, sun, o, d, key, config)
+            return jnp.mean((rgb - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.pmean(grads, RAY_AXIS)
+        loss = jax.lax.pmean(loss, RAY_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return shard_map(
+        local_step,
+        mesh=device_mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS),
+                  P(RAY_AXIS), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )

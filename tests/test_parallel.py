@@ -1,0 +1,106 @@
+"""Multi-device tests over the virtual 8-device CPU mesh (see conftest)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from raytracing_tpu.accel.packets import build_cluster_accel
+from raytracing_tpu.config import RenderConfig
+from raytracing_tpu.geometry.mesh import Scene, concat_objects
+from raytracing_tpu.models.whitted import render, render_rays
+from raytracing_tpu.parallel.shard import (
+    make_device_mesh,
+    make_train_step,
+    render_sharded,
+)
+
+
+def _small_scene():
+    obj = {
+        "verts": np.array(
+            [[-2.0, -2.0, 5.0], [3.0, -2.0, 5.0], [-2.0, 3.0, 5.0],
+             [2.5, 2.5, 6.0], [4.0, 2.5, 6.0], [2.5, 4.0, 6.0]],
+            dtype=np.float32,
+        ),
+        "tri_v": np.array([[0, 2, 1], [3, 5, 4]], dtype=np.int32),
+        "colors": np.array([0.8, 0.6, 0.4], dtype=np.float32),
+        "material": (1.0, 0.2, 0.5),
+    }
+    return Scene(mesh=concat_objects([obj]),
+                 sun=jnp.array([200.0, 300.0, -1000.0]))
+
+
+CFG = RenderConfig(width=16, height=16, samples_per_pixel=1,
+                   backend="bruteforce", chunk_size=32,
+                   reflect_depth=2, diffuse_depth=1)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_render_matches_single_device():
+    scene = _small_scene()
+    dmesh = make_device_mesh(8)
+    key = jax.random.PRNGKey(5)
+    img_s = np.asarray(render_sharded(scene, CFG, dmesh, key=key))
+    # Single-device reference with per-shard key folding reproduced: the
+    # deterministic parts (geometry) must match exactly; RNG-dependent parts
+    # are absent at diffuse_depth=1.
+    img_1 = np.asarray(render(scene, CFG, key=key))
+    np.testing.assert_allclose(img_s, img_1, atol=1e-5)
+
+
+def test_train_step_runs_and_reduces_loss():
+    scene = _small_scene()
+    dmesh = make_device_mesh(8)
+    cfg = dataclasses.replace(CFG, normals="geometric")
+    opt = optax.adam(1e-2)
+    step = make_train_step(cfg, opt, dmesh)
+
+    # Target: render of the true scene; start from perturbed vertices.
+    n = 256
+    xs = np.linspace(-0.15, 0.15, n).astype(np.float32)
+    o = jnp.zeros((n, 3))
+    d = jnp.stack([jnp.asarray(xs), jnp.asarray(xs) * 0.3 + 0.02,
+                   jnp.ones(n)], axis=-1)
+    key = jax.random.PRNGKey(0)
+    target = render_rays(scene.mesh, None, scene.sun, o, d, key, cfg)
+
+    v_true = scene.mesh.verts
+    params = {"verts": v_true + 0.05}
+    opt_state = opt.init(params)
+    losses = []
+    for i in range(10):
+        params, opt_state, loss = step(
+            params, opt_state, scene.mesh, None, scene.sun, o, d, target, key
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_gradients_replicated_across_devices():
+    """pmean'd grads must be identical on every device (replicated out)."""
+    scene = _small_scene()
+    dmesh = make_device_mesh(8)
+    opt = optax.sgd(0.0)
+    step = make_train_step(CFG, opt, dmesh)
+    n = 64
+    o = jnp.zeros((n, 3))
+    d = jnp.stack([jnp.linspace(-0.1, 0.1, n), jnp.zeros(n) + 0.02,
+                   jnp.ones(n)], axis=-1)
+    target = jnp.zeros((n, 3))
+    params = {"colors": scene.mesh.colors}
+    params, _, loss = step(params, opt.init(params), scene.mesh, None,
+                           scene.sun, o, d, target, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    # Pull each device's copy and compare.
+    c = params["colors"]
+    shards = [np.asarray(s.data) for s in c.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
