@@ -1,0 +1,201 @@
+"""CLI application shell.
+
+The reference's L4 layer is a winit window + pixels framebuffer free-running
+at max fps with an orbiting sun and an fps print (/root/reference/src/
+main.rs:381-523), with scene and all parameters hardcoded and a
+`// TODO: Use clap` (main.rs:382). This is that layer done properly for a
+headless accelerator: subcommands + flags over the same capabilities —
+
+  render   one frame of the default scene -> PNG
+  animate  N frames with the orbiting sun (main.rs:479-484), fps print per
+           second — the event-loop equivalent, plus optional PNG dumps
+  bench    the headline rays/s benchmark (same as bench.py)
+  fit      inverse-rendering demo: perturb the scene, recover parameters,
+           with checkpoint/resume
+
+Run: python -m raytracing_tpu <subcommand> [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def _build(args):
+    from raytracing_tpu.accel.packets import build_cluster_accel
+    from raytracing_tpu.config import RenderConfig
+    from raytracing_tpu.geometry.scene import build_default_scene
+
+    cfg = RenderConfig(
+        width=args.width, height=args.height,
+        samples_per_pixel=args.spp, backend=args.backend,
+        chunk_size=args.chunk_size,
+        reflect_depth=args.reflect_depth, diffuse_depth=args.diffuse_depth,
+        diffuse_scatter=args.diffuse_scatter,
+    )
+    scene = build_default_scene(t=0.0, obj_path=args.obj)
+    accel = None
+    if cfg.backend != "bruteforce":
+        accel = build_cluster_accel(scene.mesh, cluster_size=args.cluster_size)
+    return cfg, scene, accel
+
+
+def cmd_render(args) -> None:
+    from raytracing_tpu.models.whitted import render
+    from raytracing_tpu.utils.image import write_png
+    from raytracing_tpu.utils.profiling import device_summary, profile_trace
+
+    cfg, scene, accel = _build(args)
+    print(f"devices: {device_summary()}")
+    print(f"triangles: {scene.mesh.num_triangles}")  # main.rs:456-459 parity
+    with profile_trace(args.profile):
+        t0 = time.perf_counter()
+        img = render(scene, cfg, accel=accel, key=jax.random.PRNGKey(args.seed))
+        img.block_until_ready()
+        dt = time.perf_counter() - t0
+    rays = cfg.width * cfg.height * cfg.samples_per_pixel
+    print(f"frame: {dt*1e3:.1f} ms ({rays/dt/1e6:.2f} M primary rays/s)")
+    write_png(args.out, np.asarray(img))
+    print(f"wrote {args.out}")
+
+
+def cmd_animate(args) -> None:
+    """Free-running frame loop with the orbiting sun — the reference's
+    redraw-driven loop (main.rs:466-506) minus the window."""
+    from raytracing_tpu.geometry.mesh import Scene
+    from raytracing_tpu.geometry.scene import sun_position
+    from raytracing_tpu.models.whitted import render
+    from raytracing_tpu.utils.image import write_png
+    from raytracing_tpu.utils.profiling import RateMeter
+
+    cfg, scene, accel = _build(args)
+    fps = RateMeter("fps")
+    render_jit = jax.jit(
+        lambda mesh, sun, key: render(
+            Scene(mesh=mesh, sun=sun), cfg, accel=accel, key=key
+        )
+    )
+    start = time.perf_counter()
+    for frame in range(args.frames):
+        t = time.perf_counter() - start
+        sun = sun_position(t)
+        img = render_jit(scene.mesh, sun, jax.random.PRNGKey(frame))
+        img.block_until_ready()
+        fps.tick()
+        if args.out_pattern:
+            write_png(args.out_pattern.format(frame=frame), np.asarray(img))
+    total = time.perf_counter() - start
+    print(f"rendered {args.frames} frames in {total:.2f}s "
+          f"({args.frames / total:.2f} fps avg)")
+
+
+def cmd_bench(args) -> None:
+    import bench
+
+    bench.main()
+
+
+def cmd_fit(args) -> None:
+    from raytracing_tpu.models import inverse
+    from raytracing_tpu.models.whitted import render
+    from raytracing_tpu.utils import checkpoint as ckpt
+
+    import jax.numpy as jnp
+    import optax
+
+    cfg, scene, accel = _build(args)
+    target = render(scene, cfg, accel=accel, key=jax.random.PRNGKey(0))
+    params = {"colors": scene.mesh.colors * args.perturb}
+    opt = optax.adam(args.lr)
+    start_step = 0
+    if args.resume and args.checkpoint:
+        try:
+            params, _, start_step, _ = ckpt.load(args.checkpoint, params)
+            print(f"resumed from {args.checkpoint} @ step {start_step}")
+        except FileNotFoundError:
+            pass
+
+    def cb(i, loss):
+        step = start_step + i
+        if step % 20 == 0:
+            print(f"step {step}: loss {loss:.3e}")
+        if args.checkpoint and step % 50 == 49:
+            ckpt.save(args.checkpoint, res_params_holder[0], step=step)
+
+    res_params_holder = [params]
+    res = inverse.fit(
+        scene, target, params, cfg, accel=accel,
+        steps=args.steps, rays_per_step=args.rays_per_step,
+        learning_rate=args.lr, optimizer=opt, callback=cb,
+    )
+    res_params_holder[0] = res.params
+    if args.checkpoint:
+        ckpt.save(args.checkpoint, res.params, step=start_step + args.steps)
+    print(json.dumps({"final_loss": res.losses[-1],
+                      "initial_loss": res.losses[0]}))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="raytracing_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--width", type=int, default=800)
+        sp.add_argument("--height", type=int, default=800)
+        sp.add_argument("--spp", type=int, default=4)
+        sp.add_argument("--backend", default="cluster",
+                        choices=["bruteforce", "cluster", "pallas"])
+        sp.add_argument("--cluster-size", type=int, default=128)
+        sp.add_argument("--chunk-size", type=int, default=16384)
+        sp.add_argument("--reflect-depth", type=int, default=4)
+        sp.add_argument("--diffuse-depth", type=int, default=2)
+        sp.add_argument("--diffuse-scatter", type=int, default=10)
+        sp.add_argument("--obj", default=None,
+                        help="OBJ path (default: bundled teapot)")
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--profile", default=None,
+                        help="jax.profiler trace logdir")
+
+    sp = sub.add_parser("render", help="render one frame to PNG")
+    common(sp)
+    sp.add_argument("--out", default="frame.png")
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("animate", help="N-frame loop w/ orbiting sun + fps")
+    common(sp)
+    sp.add_argument("--frames", type=int, default=10)
+    sp.add_argument("--out-pattern", default=None,
+                    help="e.g. out/frame_{frame:03d}.png")
+    sp.set_defaults(fn=cmd_animate)
+
+    sp = sub.add_parser("bench", help="headline rays/s benchmark")
+    common(sp)
+    sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("fit", help="inverse-rendering demo w/ checkpoints")
+    common(sp)
+    sp.add_argument("--steps", type=int, default=200)
+    sp.add_argument("--rays-per-step", type=int, default=4096)
+    sp.add_argument("--lr", type=float, default=1e-2)
+    sp.add_argument("--perturb", type=float, default=0.5)
+    sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--resume", action="store_true")
+    sp.set_defaults(fn=cmd_fit)
+    return p
+
+
+def main(argv: Optional[list] = None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
