@@ -30,7 +30,7 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     cfg = RenderConfig(width=800, height=800, samples_per_pixel=4)
     scene = build_default_scene(t=0.0)
-    accel = build_cluster_accel(scene.mesh, cluster_size=128)
+    accel = build_cluster_accel(scene.mesh, cluster_size=256)
 
     o, d = camera_rays(cfg)
     o = o.reshape(-1, 3)

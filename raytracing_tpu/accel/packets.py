@@ -40,12 +40,27 @@ class ClusterAccel(NamedTuple):
     slot_valid:  [S] bool — False for padding slots.
     cluster_min: [C, 3] f32 — per-cluster AABB (C = S / cluster_size).
     cluster_max: [C, 3] f32
+
+    Kernel-ready blocks, precomputed host-side at build (detached from the
+    autodiff graph by construction — traversal decisions are discrete; the
+    differentiable path re-gathers from the live vertex pool, see
+    `packed_triangles` and kernels/traverse.py). After mutating vertices,
+    rebuild with `build_cluster_accel` (host, ~ms) — the standard
+    BVH-refit contract.
+
+    tri_blocks:   [C, 9, CS]  f32 — v0/e1/e2 rows, triangles on lanes
+    woop_blocks:  [C, 8, 6*CS] f32 — affine unit-triangle transforms in
+                  matmul layout (see kernels/traverse.pack layout docs)
+    order_blocks: [C, CS] i32 — lane -> original triangle id (0 on padding)
     """
 
     order: jnp.ndarray
     slot_valid: jnp.ndarray
     cluster_min: jnp.ndarray
     cluster_max: jnp.ndarray
+    tri_blocks: jnp.ndarray
+    woop_blocks: jnp.ndarray
+    order_blocks: jnp.ndarray
 
     @property
     def num_clusters(self) -> int:
@@ -123,12 +138,66 @@ def build_cluster_accel(
     big = np.float32(1e30)
     vmin = np.where(valid[:, None, None], tri_verts, big).reshape(c, -1, 3).min(axis=1)
     vmax = np.where(valid[:, None, None], tri_verts, -big).reshape(c, -1, 3).max(axis=1)
+
+    tri_blocks, woop_blocks = _kernel_blocks_host(
+        tri_verts.astype(np.float32), valid, c, cluster_size
+    )
     return ClusterAccel(
         order=jnp.asarray(order.astype(np.int32)),
         slot_valid=jnp.asarray(valid),
         cluster_min=jnp.asarray(vmin.astype(np.float32)),
         cluster_max=jnp.asarray(vmax.astype(np.float32)),
+        tri_blocks=jnp.asarray(tri_blocks),
+        woop_blocks=jnp.asarray(woop_blocks),
+        order_blocks=jnp.asarray(
+            order.astype(np.int32).reshape(c, cluster_size)
+        ),
     )
+
+
+def _kernel_blocks_host(
+    tri_verts: np.ndarray, valid: np.ndarray, c: int, cs: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side (numpy) build of the Pallas kernel data blocks.
+
+    tri_blocks [C, 9, CS]: v0/e1/e2 component rows, triangles on lanes —
+    the TPU layout of the reference's `pack_triangles` precompute
+    (simd_accel.rs:59-63), with degenerate (e1 = e2 = 0) padding.
+
+    woop_blocks [C, 8, 6*CS]: per-triangle affine unit-triangle transforms
+    (Woop et al.) in matmul layout. For A = [e1 | e2 | n], n = e1 x e2,
+    M = A^-1 maps world points to (u, v, w): a ray hits at t = -oL.z/dL.z,
+    (u, v) = oL.xy + t dL.xy where oL = M(o - v0), dL = M d. The kernel
+    computes oL/dL for a whole ray tile x cluster with ONE [RT, 8] @
+    [8, 6*CS] MXU matmul on rows [ox oy oz 1 dx dy dz 0]; columns are
+    grouped quantity-major (all oLx, then oLy, ...).
+    """
+    m = valid[:, None].astype(np.float32)
+    v0 = tri_verts[:, 0]
+    e1 = (tri_verts[:, 1] - v0) * m
+    e2 = (tri_verts[:, 2] - v0) * m
+    comp = np.concatenate([v0, e1, e2], axis=1)  # [S, 9]
+    tri_blocks = comp.reshape(c, cs, 9).transpose(0, 2, 1)
+
+    n = np.cross(e1, e2)
+    c23 = np.cross(e2, n)
+    c31 = np.cross(n, e1)
+    det = np.einsum("sk,sk->s", e1, c23)  # = |n|^2
+    ok = np.abs(det) > 1e-20
+    inv_det = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)[:, None]
+    m_rows = np.stack(
+        [c23 * inv_det, c31 * inv_det, n * inv_det], axis=1
+    )  # [S, 3(row), 3(xyz)]
+    const = -np.einsum("sqk,sk->sq", m_rows, v0)  # [S, 3]
+    s = v0.shape[0]
+    w = np.zeros((s, 8, 6), dtype=np.float32)
+    w[:, 0:3, 0:3] = m_rows.transpose(0, 2, 1)
+    w[:, 3, 0:3] = const
+    w[:, 4:7, 3:6] = m_rows.transpose(0, 2, 1)
+    woop_blocks = (
+        w.reshape(c, cs, 8, 6).transpose(0, 2, 3, 1).reshape(c, 8, 6 * cs)
+    )
+    return tri_blocks, np.ascontiguousarray(woop_blocks)
 
 
 def packed_triangles(mesh: Mesh, accel: ClusterAccel) -> TriangleSoA:

@@ -3,36 +3,44 @@
 This layer is the TPU-native replacement for the reference's AVX2 SIMD
 kernels (/root/reference/src/simd_accel.rs): where the reference tests 8
 triangles per `__m256` packet and walks packets/clusters with scalar
-early-outs (main.rs:93-171), this traversal runs in two phases sized for the
-TPU's strengths:
+early-outs (main.rs:93-171), this traversal runs in three phases sized for
+the TPU's strengths:
 
-  phase 1 (`_flags_kernel`) — every ray tile tests ALL cluster AABBs in one
-      vectorized [RAY_TILE, C] slab test (rays on sublanes, clusters on
-      lanes; zero scalar ops) and emits a per-tile cluster visit bitmap.
-  phase 2 (XLA glue) — the bitmap is compacted into per-tile visit lists
+  phase 1 (XLA, `_tile_visit_lists`) — conservative tile-frustum culling by
+      interval arithmetic: each RAY_TILE-ray tile is summarized by its
+      origin/direction bounding intervals, and a closed-form interval slab
+      test marks every cluster the tile *could* enter. O(tiles x clusters)
+      instead of O(rays x clusters); over-approximation only costs extra
+      (always-miss) triangle tests, never correctness.
+  phase 2 (XLA) — the bitmap is compacted into per-tile visit lists
       (cluster ids + count) with a tiny stable argsort. This is the ray-
       coherence bet: rays in a camera tile enter the same few clusters.
-  phase 3 (`_nearest_kernel` / `_any_kernel`) — per ray tile, a dynamic-
-      trip-count loop walks ONLY the visited clusters; cluster ids and
-      counts are scalar-prefetched into SMEM (fast scalar reads), the
-      cluster's 128 triangles are tested with a lane-parallel
-      Möller–Trumbore, and the running best-t tightens every iteration
-      (the reference's progressive `closest_splat`, main.rs:127).
+  phase 3 (`_walk_kernel`) — per ray tile, a dynamic-trip-count loop walks
+      ONLY the visited clusters; cluster ids and counts are scalar-
+      prefetched into SMEM (fast scalar reads), the kernel emits ORIGINAL
+      triangle ids (the lane->id map rides along as an i32 block, so no
+      post-hoc gather), and the running best-t tightens every iteration
+      (the reference's progressive `closest_splat` re-splat, main.rs:127).
+      Two intersection variants:
+        "woop"  — default; triangles are pre-transformed into unit-triangle
+                  space (Woop et al.'s affine form), so the per-cluster test
+                  is ONE [RT, 8] @ [8, 6*CS] matmul on the MXU plus a ~14-op
+                  VPU epilogue (t = -oz/dz; u,v two FMAs; masks).
+        "mt"    — lane-parallel Möller–Trumbore entirely on the VPU (the
+                  8-wide simd_accel.rs:282-331 math at [RT, CS] width),
+                  kept as the bit-conservative reference path.
 
-Data layout (chosen so kernels need zero transposes):
-  rays     [R, 3]       -> blocks (RAY_TILE, 3); components read as
-                           [RT, 1] sublane columns that lane-broadcast
-  tris     [C, 9, CS]   -> per cluster: rows v0x v0y v0z e1x e1y e1z e2x
-                           e2y e2z, triangles on lanes
-  bounds   [6, C]       -> rows minx miny minz maxx maxy maxz, clusters on
-                           lanes
-  outputs  [R, 1]       -> best t (f32, +inf miss) and packed slot (i32)
+All kernel data blocks (tri_blocks / woop_blocks / order_blocks / bounds)
+are precomputed into the ClusterAccel at build time — nothing geometry-
+derived is rebuilt per trace call.
 
-Differentiability contract: the kernels return *discrete* results (slot id,
-occlusion bit) plus a detached t; `nearest_hit_pallas` re-derives t
-differentiably from the winning triangle (ops/intersect.moller_trumbore on
-the gathered triangle), so gradients flow through the continuous
-intersection math while traversal decisions stay detached (SURVEY.md §7).
+Differentiability contract: the kernel produces discrete results (original
+triangle id, occlusion bit) and a detached t. `nearest_hit_pallas` wraps t
+in a custom_vjp whose FORWARD is the kernel value (zero extra cost) and
+whose BACKWARD re-derives t from the live vertex pool through
+ops/intersect.moller_trumbore — gradients flow through the continuous
+intersection math, traversal decisions stay detached (SURVEY.md §7), and
+renders that nobody differentiates never pay for the refinement.
 """
 
 from __future__ import annotations
@@ -45,81 +53,80 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raytracing_tpu.accel.packets import ClusterAccel, packed_triangles
+from raytracing_tpu.accel.packets import ClusterAccel
 from raytracing_tpu.geometry.mesh import Mesh
 from raytracing_tpu.ops.intersect import INF, TriangleSoA, moller_trumbore
 from raytracing_tpu.ops.trace import Hit
 
 RAY_TILE = 256
+DEFAULT_VARIANT = "woop"
 _TINY = 1e-20
+_BIG_ID = 2 ** 30  # python int: kernels may not capture traced constants
 
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def pack_tri_blocks(mesh: Mesh, accel: ClusterAccel) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Rearrange the packed triangle SoA into the kernel layouts:
-    tris [C, 9, CS] and bounds [6, C]."""
-    tri = packed_triangles(mesh, accel)
-    cs = accel.cluster_size
-    c = accel.num_clusters
-    comp = jnp.concatenate([tri.v0, tri.e1, tri.e2], axis=1)  # [S, 9]
-    blocks = comp.reshape(c, cs, 9).transpose(0, 2, 1)  # [C, 9, CS]
-    bounds = jnp.concatenate([accel.cluster_min, accel.cluster_max], axis=1).T
-    return blocks, bounds
+# ---------------------------------------------------------------------------
+# Phase 1+2: conservative tile-frustum visit lists (pure XLA)
+# ---------------------------------------------------------------------------
 
 
-def _ray_columns(o_ref, d_ref):
-    """Split ray blocks into [RT, 1] component columns with safe recip dirs."""
-    ox, oy, oz = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]
-    dx, dy, dz = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
+def _tile_visit_lists(o, d, cluster_min, cluster_max, rt):
+    """Interval-arithmetic slab test of every ray tile against every
+    cluster AABB. Conservative: never misses a truly-intersecting cluster.
 
-    def inv(v):
-        return 1.0 / jnp.where(jnp.abs(v) < _TINY, _TINY, v)
+    Per tile, origins lie in [o_lo, o_hi] and directions in [d_lo, d_hi]
+    per axis. If a direction interval straddles 0 the axis is unconstrained
+    (t in (-inf, inf)); otherwise 1/d is monotonic so inv_d in
+    [1/d_hi, 1/d_lo], and the per-axis slab window is bounded by the four
+    interval products. Entry lower bound = max over axes; exit upper bound
+    = min over axes.
+    """
+    nt = o.shape[0] // rt
+    ot = o.reshape(nt, rt, 3)
+    dt = d.reshape(nt, rt, 3)
+    o_lo, o_hi = ot.min(axis=1), ot.max(axis=1)  # [nt, 3]
+    d_lo, d_hi = dt.min(axis=1), dt.max(axis=1)
+    spans0 = (d_lo <= 0.0) & (d_hi >= 0.0)
+    d_lo_s = jnp.where(jnp.abs(d_lo) < _TINY, _TINY, d_lo)
+    d_hi_s = jnp.where(jnp.abs(d_hi) < _TINY, _TINY, d_hi)
+    i_lo = 1.0 / d_hi_s
+    i_hi = 1.0 / d_lo_s
 
-    return (ox, oy, oz), (dx, dy, dz), (inv(dx), inv(dy), inv(dz))
+    e_lo = cluster_min[None, :, :] - o_hi[:, None, :]  # [nt, C, 3]
+    e_hi = cluster_max[None, :, :] - o_lo[:, None, :]
+    il = i_lo[:, None, :]
+    ih = i_hi[:, None, :]
+    p = jnp.stack([e_lo * il, e_lo * ih, e_hi * il, e_hi * ih])
+    t_min_ax = jnp.min(p, axis=0)
+    t_max_ax = jnp.max(p, axis=0)
+    unbounded = spans0[:, None, :]
+    t_min_ax = jnp.where(unbounded, -INF, t_min_ax)
+    t_max_ax = jnp.where(unbounded, INF, t_max_ax)
+    t_near_lb = jnp.max(t_min_ax, axis=-1)  # [nt, C]
+    t_far_ub = jnp.min(t_max_ax, axis=-1)
+    flags = ((t_near_lb <= t_far_ub) & (t_far_ub >= 0.0)).astype(jnp.int32)
+    ids = jnp.argsort(1 - flags, axis=1, stable=True).astype(jnp.int32)
+    cnt = jnp.sum(flags, axis=1, dtype=jnp.int32)
+    return ids, cnt
 
 
-def _flags_kernel(o_ref, d_ref, bounds_ref, flags_ref):
-    """Phase 1: visit bitmap. [RT, C] slab test, OR over the ray tile."""
-    o, _, inv_d = _ray_columns(o_ref, d_ref)
-    (ox, oy, oz), (ix, iy, iz) = o, inv_d
-    bx0, by0, bz0 = bounds_ref[0:1, :], bounds_ref[1:2, :], bounds_ref[2:3, :]
-    bx1, by1, bz1 = bounds_ref[3:4, :], bounds_ref[4:5, :], bounds_ref[5:6, :]
-    t1x, t2x = (bx0 - ox) * ix, (bx1 - ox) * ix
-    t1y, t2y = (by0 - oy) * iy, (by1 - oy) * iy
-    t1z, t2z = (bz0 - oz) * iz, (bz1 - oz) * iz
-    tn = jnp.maximum(
-        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-        jnp.minimum(t1z, t2z),
-    )
-    tf = jnp.minimum(
-        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-        jnp.maximum(t1z, t2z),
-    )
-    hit = (tn <= tf) & (tf >= 0.0)  # [RT, C]
-    # The whole [n_tiles, C] bitmap is one revisited output block (TPU block
-    # shapes must divide (8, 128) or equal the array); each grid step writes
-    # its own row.
-    i = pl.program_id(0)
-    flags_ref[pl.ds(i, 1), :] = jnp.any(hit, axis=0, keepdims=True).astype(
-        jnp.int32
-    )
+# ---------------------------------------------------------------------------
+# Phase 3: the walk kernel
+# ---------------------------------------------------------------------------
 
 
 def _mt_tile(o, d, blk, eps, t_limit):
-    """Möller–Trumbore of the ray tile against one cluster block.
-
-    o/d: tuples of [RT, 1]; blk: [9, CS] component rows. Returns t [RT, CS]
-    with +inf on miss — the lane-parallel sibling of simd_accel.rs:282-331.
-    """
+    """Möller–Trumbore of the ray tile against one cluster block: o/d tuples
+    of [RT, 1], blk [9, CS]. Returns t [RT, CS], +inf on miss — the
+    lane-parallel sibling of simd_accel.rs:282-331."""
     ox, oy, oz = o
     dx, dy, dz = d
     v0x, v0y, v0z = blk[0:1, :], blk[1:2, :], blk[2:3, :]
     e1x, e1y, e1z = blk[3:4, :], blk[4:5, :], blk[5:6, :]
     e2x, e2y, e2z = blk[6:7, :], blk[7:8, :], blk[8:9, :]
-    # p = d x e2
     px = dy * e2z - dz * e2y
     py = dz * e2x - dx * e2z
     pz = dx * e2y - dy * e2x
@@ -127,7 +134,6 @@ def _mt_tile(o, d, blk, eps, t_limit):
     inv = 1.0 / det
     sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
     u = (sx * px + sy * py + sz * pz) * inv
-    # q = s x e1
     qx = sy * e1z - sz * e1y
     qy = sz * e1x - sx * e1z
     qz = sx * e1y - sy * e1x
@@ -144,48 +150,83 @@ def _mt_tile(o, d, blk, eps, t_limit):
     return jnp.where(valid, t, INF)
 
 
-def _nearest_kernel(cnt_ref, ids_ref, o_ref, d_ref, tri_ref, t_ref, i_ref, *,
-                    cluster_size, eps):
-    o, d, _ = _ray_columns(o_ref, d_ref)
+def _woop_tile(rays8, blk, cs, eps, t_limit):
+    """Woop-transform intersection of the ray tile against one cluster:
+    rays8 [RT, 8], blk [8, 6*CS]. The transform runs on the MXU; the
+    epilogue is ~14 VPU ops per (ray, triangle). Returns t [RT, CS]."""
+    out = jax.lax.dot_general(
+        rays8, blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [RT, 6*CS]
+    olx = out[:, 0 * cs:1 * cs]
+    oly = out[:, 1 * cs:2 * cs]
+    olz = out[:, 2 * cs:3 * cs]
+    dlx = out[:, 3 * cs:4 * cs]
+    dly = out[:, 4 * cs:5 * cs]
+    dlz = out[:, 5 * cs:6 * cs]
+    rcp = 1.0 / jnp.where(jnp.abs(dlz) < _TINY, _TINY, dlz)
+    t = -olz * rcp
+    u = olx + t * dlx
+    v = oly + t * dly
+    valid = (
+        (jnp.abs(dlz) >= _TINY)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > eps)
+        & (t < t_limit)
+    )
+    return jnp.where(valid, t, INF)
+
+
+def _walk_kernel(cnt_ref, ids_ref, o_ref, d_ref, tri_ref, oid_ref,
+                 t_ref, i_ref, *, cluster_size, eps, variant, nearest,
+                 t_max):
+    """Shared nearest/any-hit walk over the tile's visit list. Outputs:
+    t [RT, 1] (+inf miss / ignored for any-hit), i [RT, 1] = original
+    triangle id for nearest, occlusion bit for any-hit."""
     rt = o_ref.shape[0]
+    if variant == "woop":
+        ones = jnp.ones((rt, 1), dtype=jnp.float32)
+        zeros = jnp.zeros((rt, 1), dtype=jnp.float32)
+        rays8 = jnp.concatenate(
+            [o_ref[:, 0:3], ones, d_ref[:, 0:3], zeros], axis=1
+        )
+    else:
+        o_cols = (o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3])
+        d_cols = (d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3])
     t_ref[:] = jnp.full((rt, 1), INF, dtype=jnp.float32)
     i_ref[:] = jnp.zeros((rt, 1), dtype=jnp.int32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rt, cluster_size), 1)
+    limit_any = jnp.full((rt, 1), t_max, dtype=jnp.float32)
     i = pl.program_id(0)
 
     def body(j, _):
         c = ids_ref[i, j]
-        blk = tri_ref[c]  # [9, CS]
-        t = _mt_tile(o, d, blk, eps, t_ref[:])
-        tmin = jnp.min(t, axis=1, keepdims=True)
-        lmin = jnp.min(
-            jnp.where(t == tmin, lane, cluster_size), axis=1, keepdims=True
-        )
-        better = tmin < t_ref[:]
-        i_ref[:] = jnp.where(better, c * cluster_size + lmin, i_ref[:])
-        t_ref[:] = jnp.where(better, tmin, t_ref[:])
+        limit = t_ref[:] if nearest else limit_any
+        if variant == "woop":
+            t = _woop_tile(rays8, tri_ref[c], cluster_size, eps, limit)
+        else:
+            t = _mt_tile(o_cols, d_cols, tri_ref[c], eps, limit)
+        if nearest:
+            ids_blk = oid_ref[pl.ds(c, 1), :]  # [1, CS] original ids
+            tmin = jnp.min(t, axis=1, keepdims=True)
+            omin = jnp.min(
+                jnp.where(t == tmin, ids_blk, _BIG_ID), axis=1, keepdims=True
+            )
+            better = tmin < t_ref[:]
+            i_ref[:] = jnp.where(better, omin, i_ref[:])
+            t_ref[:] = jnp.where(better, tmin, t_ref[:])
+        else:
+            hit = jnp.any(jnp.isfinite(t), axis=1, keepdims=True)
+            i_ref[:] = jnp.where(hit, 1, i_ref[:])
         return 0
 
     jax.lax.fori_loop(0, cnt_ref[i], body, 0)
 
 
-def _any_kernel(cnt_ref, ids_ref, o_ref, d_ref, tri_ref, occ_ref, *,
-                cluster_size, eps, t_max):
-    o, d, _ = _ray_columns(o_ref, d_ref)
-    rt = o_ref.shape[0]
-    occ_ref[:] = jnp.zeros((rt, 1), dtype=jnp.int32)
-    limit = jnp.full((rt, 1), t_max, dtype=jnp.float32)
-    i = pl.program_id(0)
-
-    def body(j, _):
-        c = ids_ref[i, j]
-        blk = tri_ref[c]
-        t = _mt_tile(o, d, blk, eps, limit)
-        hit = jnp.any(jnp.isfinite(t), axis=1, keepdims=True)
-        occ_ref[:] = jnp.where(hit, 1, occ_ref[:])
-        return 0
-
-    jax.lax.fori_loop(0, cnt_ref[i], body, 0)
+# ---------------------------------------------------------------------------
+# Launch plumbing
+# ---------------------------------------------------------------------------
 
 
 def _pad_rays(o, d):
@@ -199,54 +240,111 @@ def _pad_rays(o, d):
     return o, d, r
 
 
-def _visit_lists(o, d, bounds, n_clusters, interpret):
-    """Phases 1+2: per-tile cluster visit lists (ids, counts)."""
-    rp = o.shape[0]
-    n_tiles = rp // RAY_TILE
-    flags = pl.pallas_call(
-        _flags_kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((RAY_TILE, 3), lambda i: (i, 0)),
-            pl.BlockSpec((RAY_TILE, 3), lambda i: (i, 0)),
-            pl.BlockSpec((6, n_clusters), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((n_tiles, n_clusters), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, n_clusters), jnp.int32),
-        interpret=interpret,
-    )(o, d, bounds)
-    # Compact the bitmap into visit lists: stable argsort puts set flags
-    # first while preserving the (near-to-far-ish) cluster order.
-    ids = jnp.argsort(1 - flags, axis=1, stable=True).astype(jnp.int32)
-    cnt = jnp.sum(flags, axis=1, dtype=jnp.int32)
-    return ids, cnt
+# SMEM budget for the scalar-prefetched visit lists (the TPU has ~1MB of
+# SMEM total; ids are [n_tiles, C] i32 and must fit alongside counts).
+_SMEM_IDS_BUDGET_BYTES = 256 * 1024
 
 
-def _launch_walk(kernel, cnt, ids, o, d, blocks, out_dtype, interpret):
+def _launch_walk(kernel, cnt, ids, o, d, blocks, order_blocks, interpret):
+    """Launch the walk kernel, chunking ray tiles so the SMEM-resident
+    visit lists stay inside budget at any ray count."""
+    n_tiles, c = ids.shape
+    max_tiles = max(1, _SMEM_IDS_BUDGET_BYTES // (4 * c))
+    if n_tiles <= max_tiles:
+        return _launch_single(kernel, cnt, ids, o, d, blocks, order_blocks,
+                              interpret)
+    pad_t = (-n_tiles) % max_tiles
+    if pad_t:
+        cnt = jnp.concatenate([cnt, jnp.zeros(pad_t, cnt.dtype)])
+        ids = jnp.concatenate([ids, jnp.zeros((pad_t, c), ids.dtype)])
+        o = jnp.concatenate([o, jnp.zeros((pad_t * RAY_TILE, 3), o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], d.dtype),
+                                 (pad_t * RAY_TILE, 3))]
+        )
+    k = (n_tiles + pad_t) // max_tiles
+    t_out, i_out = jax.lax.map(
+        lambda args: _launch_single(kernel, *args, blocks, order_blocks,
+                                    interpret),
+        (
+            cnt.reshape(k, max_tiles),
+            ids.reshape(k, max_tiles, c),
+            o.reshape(k, max_tiles * RAY_TILE, 3),
+            d.reshape(k, max_tiles * RAY_TILE, 3),
+        ),
+    )
+    rp = n_tiles * RAY_TILE
+    return t_out.reshape(-1, 1)[:rp], i_out.reshape(-1, 1)[:rp]
+
+
+def _launch_single(kernel, cnt, ids, o, d, blocks, order_blocks, interpret):
     rp = o.shape[0]
     n_tiles = rp // RAY_TILE
-    c, _, cs = blocks.shape
+    blk_shape = blocks.shape
+    oid_shape = order_blocks.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((RAY_TILE, 3), lambda i, *_: (i, 0)),
             pl.BlockSpec((RAY_TILE, 3), lambda i, *_: (i, 0)),
-            pl.BlockSpec((c, 9, cs), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec(blk_shape, lambda i, *_: (0,) * len(blk_shape)),
+            pl.BlockSpec(oid_shape, lambda i, *_: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0))
-            for _ in out_dtype
+            pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0)) for _ in range(2)
         ],
     )
-    out_shape = [jax.ShapeDtypeStruct((rp, 1), dt) for dt in out_dtype]
-    outs = pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((rp, 1), jnp.float32),
+        jax.ShapeDtypeStruct((rp, 1), jnp.int32),
+    ]
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(cnt, ids, o, d, blocks)
-    return outs
+    )(cnt, ids, o, d, blocks, order_blocks)
+
+
+# ---------------------------------------------------------------------------
+# Lazy differentiable t: forward = kernel value, backward = re-derivation
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _lazy_t(verts, o, d, tv_packed, slot, hit, t_k):
+    return t_k
+
+
+def _lazy_t_fwd(verts, o, d, tv_packed, slot, hit, t_k):
+    return t_k, (verts, o, d, tv_packed, slot, hit)
+
+
+def _lazy_t_bwd(res, g):
+    verts, o, d, tv_packed, slot, hit = res
+
+    def t_of(verts_, o_, d_):
+        tvs = tv_packed[slot]  # [R, 3] vertex ids of the winning triangle
+        va = verts_[tvs[:, 0]]
+        vb = verts_[tvs[:, 1]]
+        vc = verts_[tvs[:, 2]]
+        t_d, _ = moller_trumbore(
+            o_, d_, TriangleSoA(va, vb - va, vc - va), INF, 1e-8
+        )
+        return jnp.where(hit & jnp.isfinite(t_d), t_d, 0.0)
+
+    _, vjp = jax.vjp(t_of, verts, o, d)
+    dverts, do, dd = vjp(jnp.where(hit, g, 0.0))
+    return dverts, do, dd, None, None, None, None
+
+
+_lazy_t.defvjp(_lazy_t_fwd, _lazy_t_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
 
 
 def nearest_hit_pallas(
@@ -256,32 +354,30 @@ def nearest_hit_pallas(
     d: jnp.ndarray,
     eps: float = 1e-8,
     interpret: bool | None = None,
+    variant: str = DEFAULT_VARIANT,
 ) -> Hit:
-    """Nearest hit via the Pallas megakernel. Returns original triangle ids;
-    t is re-derived differentiably from the winning triangle so the kernel
-    itself stays out of the gradient path."""
+    """Nearest hit via the Pallas megakernel. Returns original triangle ids
+    and a t that is the kernel's value forward but differentiates through a
+    live-vertex re-derivation backward (see module docstring)."""
     if interpret is None:
         interpret = not _on_tpu()
-    blocks, bounds = pack_tri_blocks(mesh, accel)
-    blocks = jax.lax.stop_gradient(blocks)
-    bounds = jax.lax.stop_gradient(bounds)
-    op, dp, r = _pad_rays(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d))
-    ids, cnt = _visit_lists(op, dp, bounds, accel.num_clusters, interpret)
+    sg = jax.lax.stop_gradient
+    op, dp, r = _pad_rays(sg(o), sg(d))
+    ids, cnt = _tile_visit_lists(op, dp, accel.cluster_min, accel.cluster_max,
+                                 RAY_TILE)
+    blocks = accel.woop_blocks if variant == "woop" else accel.tri_blocks
     kern = functools.partial(
-        _nearest_kernel, cluster_size=accel.cluster_size, eps=eps
+        _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
+        variant=variant, nearest=True, t_max=float("inf"),
     )
-    t_k, slot = _launch_walk(kern, cnt, ids, op, dp, blocks,
-                             (jnp.float32, jnp.int32), interpret)
+    t_k, tri_id = _launch_walk(kern, cnt, ids, op, dp, blocks,
+                               accel.order_blocks, interpret)
     t_k = t_k[:r, 0]
-    slot = slot[:r, 0]
+    tri_id = tri_id[:r, 0]
     hit = jnp.isfinite(t_k)
-    # Differentiable refinement: recompute t for the (detached) winning
-    # triangle from the live vertex pool.
-    tri = packed_triangles(mesh, accel)
-    tri_sel = TriangleSoA(tri.v0[slot], tri.e1[slot], tri.e2[slot])
-    t_d, _ = moller_trumbore(o, d, tri_sel, INF, eps)
-    t = jnp.where(hit, jnp.where(jnp.isfinite(t_d), t_d, t_k), INF)
-    return Hit(t=t, tri=accel.order[slot], hit=hit)
+    tv_packed = sg(mesh.tri_v)
+    t = _lazy_t(mesh.verts, o, d, tv_packed, tri_id, hit, t_k)
+    return Hit(t=t, tri=tri_id, hit=hit)
 
 
 def any_hit_pallas(
@@ -292,17 +388,19 @@ def any_hit_pallas(
     eps: float = 1e-8,
     t_max: float = float("inf"),
     interpret: bool | None = None,
+    variant: str = DEFAULT_VARIANT,
 ) -> jnp.ndarray:
     if interpret is None:
         interpret = not _on_tpu()
-    blocks, bounds = pack_tri_blocks(mesh, accel)
-    blocks = jax.lax.stop_gradient(blocks)
-    bounds = jax.lax.stop_gradient(bounds)
-    op, dp, r = _pad_rays(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d))
-    ids, cnt = _visit_lists(op, dp, bounds, accel.num_clusters, interpret)
+    sg = jax.lax.stop_gradient
+    op, dp, r = _pad_rays(sg(o), sg(d))
+    ids, cnt = _tile_visit_lists(op, dp, accel.cluster_min, accel.cluster_max,
+                                 RAY_TILE)
+    blocks = accel.woop_blocks if variant == "woop" else accel.tri_blocks
     kern = functools.partial(
-        _any_kernel, cluster_size=accel.cluster_size, eps=eps, t_max=t_max
+        _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
+        variant=variant, nearest=False, t_max=t_max,
     )
-    (occ,) = _launch_walk(kern, cnt, ids, op, dp, blocks, (jnp.int32,),
+    _, occ = _launch_walk(kern, cnt, ids, op, dp, blocks, accel.order_blocks,
                           interpret)
     return occ[:r, 0] != 0

@@ -8,11 +8,7 @@ import pytest
 from raytracing_tpu.accel.packets import build_cluster_accel
 from raytracing_tpu.geometry.mesh import triangle_soa
 from raytracing_tpu.geometry.scene import teapot_only_mesh
-from raytracing_tpu.kernels.traverse import (
-    any_hit_pallas,
-    nearest_hit_pallas,
-    pack_tri_blocks,
-)
+from raytracing_tpu.kernels.traverse import any_hit_pallas, nearest_hit_pallas
 from raytracing_tpu.ops.trace import any_hit_brute, nearest_hit_brute
 
 
@@ -46,19 +42,75 @@ def test_pallas_anyhit_matches_oracle(setup):
     np.testing.assert_array_equal(np.asarray(ab), np.asarray(ap))
 
 
-def test_pack_tri_blocks_layout(setup):
+def test_accel_kernel_blocks_layout(setup):
     mesh, accel, _, _ = setup
-    blocks, bounds = pack_tri_blocks(mesh, accel)
-    c, rows, cs = blocks.shape
+    c, rows, cs = accel.tri_blocks.shape
     assert rows == 9 and cs == accel.cluster_size and c == accel.num_clusters
-    assert bounds.shape == (6, c)
+    assert accel.woop_blocks.shape == (c, 8, 6 * cs)
+    assert accel.order_blocks.shape == (c, cs)
     # Row layout: v0(3) e1(3) e2(3) per cluster, triangles on lanes.
     from raytracing_tpu.accel.packets import packed_triangles
 
     tri = packed_triangles(mesh, accel)
     np.testing.assert_allclose(
-        np.asarray(blocks[0, 0, :]), np.asarray(tri.v0[:cs, 0]), atol=0
+        np.asarray(accel.tri_blocks[0, 0, :]), np.asarray(tri.v0[:cs, 0]),
+        atol=0
     )
     np.testing.assert_allclose(
-        np.asarray(blocks[0, 3, :]), np.asarray(tri.e1[:cs, 0]), atol=0
+        np.asarray(accel.tri_blocks[0, 3, :]), np.asarray(tri.e1[:cs, 0]),
+        atol=0
     )
+    np.testing.assert_array_equal(
+        np.asarray(accel.order_blocks).reshape(-1), np.asarray(accel.order)
+    )
+
+
+def test_woop_blocks_recover_intersection(setup):
+    """The affine transform must reproduce MT's (t, u, v) on a hit."""
+    mesh, accel, _, _ = setup
+    w = np.asarray(accel.woop_blocks)  # [C, 8, 6*CS]
+    cs = accel.cluster_size
+    tri = np.asarray(accel.tri_blocks)  # [C, 9, CS]
+    # take cluster 0, triangle lane 0
+    v0 = tri[0, 0:3, 0]
+    e1 = tri[0, 3:6, 0]
+    e2 = tri[0, 6:9, 0]
+    center = v0 + e1 / 3.0 + e2 / 3.0
+    o = center - np.array([0.0, 0.0, 2.0])
+    d = np.array([0.0, 0.0, 2.0])
+    ray8 = np.concatenate([o, [1.0], d, [0.0]]).astype(np.float32)
+    out = ray8 @ w[0]  # [6*CS]
+    olz, dlz = out[2 * cs + 0], out[5 * cs + 0]
+    t = -olz / dlz
+    u = out[0 * cs + 0] + t * out[3 * cs + 0]
+    v = out[1 * cs + 0] + t * out[4 * cs + 0]
+    np.testing.assert_allclose(t, 1.0, rtol=1e-3)
+    np.testing.assert_allclose([u, v], [1 / 3, 1 / 3], atol=1e-3)
+
+
+def test_pallas_woop_variant_matches_oracle(setup):
+    mesh, accel, o, d = setup
+    hb = nearest_hit_brute(triangle_soa(mesh.verts, mesh.tri_v), o, d)
+    hp = nearest_hit_pallas(mesh, accel, o, d, interpret=True,
+                            variant="woop")
+    m = np.asarray(hb.hit)
+    np.testing.assert_array_equal(m, np.asarray(hp.hit))
+    np.testing.assert_array_equal(np.asarray(hb.tri)[m], np.asarray(hp.tri)[m])
+    np.testing.assert_allclose(np.asarray(hb.t)[m], np.asarray(hp.t)[m],
+                               rtol=1e-4)
+
+
+def test_pallas_grad_through_lazy_t(setup):
+    """Vertex gradients flow through the kernel's lazy-refined t."""
+    import jax
+
+    mesh, accel, o, d = setup
+
+    def loss(verts):
+        m = mesh._replace(verts=verts)
+        h = nearest_hit_pallas(m, accel, o[:32], d[:32], interpret=True)
+        return jnp.sum(jnp.where(h.hit, h.t, 0.0))
+
+    g = np.asarray(jax.grad(loss)(mesh.verts))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
