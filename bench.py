@@ -29,11 +29,11 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     cfg = RenderConfig(width=800, height=800, samples_per_pixel=4)
     scene = build_default_scene(t=0.0)
-    accel = build_cluster_accel(scene.mesh, cluster_size=64)
+    accel = build_cluster_accel(scene.mesh, cluster_size=16)
 
     o, d = camera_rays(cfg)
     spp, h, w = o.shape[:3]
-    perm, _ = block_permutation(spp, h, w)  # 8x8-pixel x spp ray tiles
+    perm, _ = block_permutation(spp, h, w, 16, 16)  # 16x16-px x 4spp = 1024-ray tiles
     # SoA ray pack [8, N] in block order, built host-side (static camera).
     on = np.asarray(o).reshape(-1, 3)[np.asarray(perm)]
     dn = np.asarray(d).reshape(-1, 3)[np.asarray(perm)]

@@ -69,7 +69,8 @@ from raytracing_tpu.geometry.mesh import Mesh
 from raytracing_tpu.ops.intersect import INF, TriangleSoA, moller_trumbore
 from raytracing_tpu.ops.trace import Hit
 
-RAY_TILE = 256
+RAY_TILE = 1024  # rays per culling tile: 16x16 pixels x 4 spp in block order
+SUBTILES = 1  # culling tiles per grid step (sweep said 1024x1 beats 256x4)
 DEFAULT_VARIANT = "mt"
 _TINY = 1e-20
 _BIG_ID = 2 ** 30  # python int: kernels may not capture traced constants
@@ -121,24 +122,29 @@ def _tile_visit_lists_soa(rays8, cluster_min, cluster_max, rt):
 
 def _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi, cluster_min,
                               cluster_max):
-    spans0 = (d_lo <= 0.0) & (d_hi >= 0.0)
-    d_lo_s = jnp.where(jnp.abs(d_lo) < _TINY, _TINY, d_lo)
-    d_hi_s = jnp.where(jnp.abs(d_hi) < _TINY, _TINY, d_hi)
-    i_lo = 1.0 / d_hi_s
-    i_hi = 1.0 / d_lo_s
-
-    e_lo = cluster_min[None, :, :] - o_hi[:, None, :]  # [nt, C, 3]
-    e_hi = cluster_max[None, :, :] - o_lo[:, None, :]
-    il = i_lo[:, None, :]
-    ih = i_hi[:, None, :]
-    p = jnp.stack([e_lo * il, e_lo * ih, e_hi * il, e_hi * ih])
-    t_min_ax = jnp.min(p, axis=0)
-    t_max_ax = jnp.max(p, axis=0)
-    unbounded = spans0[:, None, :]
-    t_min_ax = jnp.where(unbounded, -INF, t_min_ax)
-    t_max_ax = jnp.where(unbounded, INF, t_max_ax)
-    t_near_lb = jnp.max(t_min_ax, axis=-1)  # [nt, C]
-    t_far_ub = jnp.min(t_max_ax, axis=-1)
+    # All arrays here are kept 2-D [nt, C] (clusters on the lane axis) by
+    # unrolling the xyz loop in Python: a fused [nt, C, 3] formulation pads
+    # its minor dim 3 -> 128 in every materialized intermediate (measured
+    # ~10x slower at C=791).
+    t_near_lb = None
+    t_far_ub = None
+    for k in range(3):
+        spans0 = (d_lo[:, k] <= 0.0) & (d_hi[:, k] >= 0.0)  # [nt]
+        dl = jnp.where(jnp.abs(d_lo[:, k]) < _TINY, _TINY, d_lo[:, k])
+        dh = jnp.where(jnp.abs(d_hi[:, k]) < _TINY, _TINY, d_hi[:, k])
+        i_lo = (1.0 / dh)[:, None]  # [nt, 1]
+        i_hi = (1.0 / dl)[:, None]
+        e_lo = cluster_min[None, :, k] - o_hi[:, k:k + 1]  # [nt, C]
+        e_hi = cluster_max[None, :, k] - o_lo[:, k:k + 1]
+        p1, p2 = e_lo * i_lo, e_lo * i_hi
+        p3, p4 = e_hi * i_lo, e_hi * i_hi
+        t_min_ax = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
+        t_max_ax = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+        unb = spans0[:, None]
+        t_min_ax = jnp.where(unb, -INF, t_min_ax)
+        t_max_ax = jnp.where(unb, INF, t_max_ax)
+        t_near_lb = t_min_ax if k == 0 else jnp.maximum(t_near_lb, t_min_ax)
+        t_far_ub = t_max_ax if k == 0 else jnp.minimum(t_far_ub, t_max_ax)
     flags = ((t_near_lb <= t_far_ub) & (t_far_ub >= 0.0)).astype(jnp.int32)
     ids = jnp.argsort(1 - flags, axis=1, stable=True).astype(jnp.int32)
     cnt = jnp.sum(flags, axis=1, dtype=jnp.int32)
@@ -250,60 +256,86 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, tri_ref,
     (main.rs:127); here the "re-splat" is free because each (sublane, lane)
     owns its own best. The kernel emits packed slot ids; the caller maps
     slot -> original triangle id with one XLA gather (accel.order).
+
+    Each grid step processes SUBTILES culling tiles (a [8, SUBTILES*RT]
+    ray block): the fixed per-step cost (DMA issue, bookkeeping) measured
+    ~0.46 us — amortizing it over 4 tiles cuts the frame floor 4x while
+    keeping the 256-ray frustum granularity that makes culling tight.
     """
-    rt = rays_ref.shape[1]
+    rt_step = rays_ref.shape[1]
+    subtiles = rt_step // RAY_TILE
+    rt = RAY_TILE
     cs = cluster_size
-    if variant == "woop":
-        rays8t = rays_ref[...]  # [8, RT]
-    else:
-        rows = rays_ref[...]
-        o_cols = tuple(rows[k:k + 1, :] for k in (0, 1, 2))
-        d_cols = tuple(rows[k:k + 1, :] for k in (4, 5, 6))
     i = pl.program_id(0)
 
-    def intersect(c):
+    for s in range(subtiles):
+        tile = i * subtiles + s
+        lo = s * rt
         if variant == "woop":
-            return _woop_tile_t(rays8t, tri_ref[c], cs, eps,
-                                None if nearest else t_max)
-        return _mt_tile(o_cols, d_cols, tri_ref[c], eps,
-                        None if nearest else t_max)
+            rays8t = rays_ref[:, lo:lo + rt]  # [8, RT]
+        else:
+            rows = rays_ref[:, lo:lo + rt]
+            o_cols = tuple(rows[k:k + 1, :] for k in (0, 1, 2))
+            d_cols = tuple(rows[k:k + 1, :] for k in (4, 5, 6))
 
-    if nearest:
-        lane_slot = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+        def intersect(c):
+            if variant == "woop":
+                return _woop_tile_t(rays8t, tri_ref[c], cs, eps,
+                                    None if nearest else t_max)
+            return _mt_tile(o_cols, d_cols, tri_ref[c], eps,
+                            None if nearest else t_max)
 
-        def body(j, acc):
-            acc_t, acc_s = acc
-            c = ids_ref[i, j]
-            t = intersect(c)  # [CS, RT]
-            slot = c * cs + lane_slot  # [CS, 1] packed slot ids
-            acc_s = jnp.where(t < acc_t, slot, acc_s)
-            acc_t = jnp.minimum(acc_t, t)
-            return acc_t, acc_s
+        # Overflow fallback: visit lists are sliced to a static width W
+        # (launch plumbing). A tile whose TRUE count exceeds W — possible
+        # for incoherent ray batches whose frustum covers most of the
+        # scene — scans ALL C clusters in index order instead (correct,
+        # and such tiles get no culling benefit anyway).
+        n_total = tri_ref.shape[0]
+        width = ids_ref.shape[1]
+        n_true = cnt_ref[tile]
+        overflow = n_true > width
+        trips = jnp.where(overflow, n_total, n_true)
 
-        acc_t0 = jnp.full((cs, rt), INF, dtype=jnp.float32)
-        acc_s0 = jnp.full((cs, rt), _BIG_ID, dtype=jnp.int32)
-        acc_t, acc_s = jax.lax.fori_loop(
-            0, cnt_ref[i], body, (acc_t0, acc_s0)
-        )
-        tmin = jnp.min(acc_t, axis=0, keepdims=True)  # [1, RT]
-        smin = jnp.min(
-            jnp.where(acc_t == tmin, acc_s, _BIG_ID), axis=0, keepdims=True
-        )
-        t_ref[:] = tmin
-        i_ref[:] = smin
-    else:
-        # Occlusion: min-accumulate t (misses are +inf, and the t_max cut
-        # is already applied inside the intersector) — an f32 carry, since
-        # Mosaic cannot carry wide i1 vectors through loops.
-        def body(j, acc_t):
-            c = ids_ref[i, j]
-            return jnp.minimum(acc_t, intersect(c))
+        def cluster_of(j):
+            return jnp.where(overflow, j, ids_ref[tile, jnp.minimum(j, width - 1)])
 
-        acc_t0 = jnp.full((cs, rt), INF, dtype=jnp.float32)
-        acc_t = jax.lax.fori_loop(0, cnt_ref[i], body, acc_t0)
-        tmin = jnp.min(acc_t, axis=0, keepdims=True)
-        t_ref[:] = tmin
-        i_ref[:] = (tmin < INF).astype(jnp.int32)
+        if nearest:
+            sub_slot = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+
+            def body(j, acc):
+                acc_t, acc_s = acc
+                c = cluster_of(j)
+                t = intersect(c)  # [CS, RT]
+                slot = c * cs + sub_slot  # [CS, 1] packed slot ids
+                acc_s = jnp.where(t < acc_t, slot, acc_s)
+                acc_t = jnp.minimum(acc_t, t)
+                return acc_t, acc_s
+
+            acc_t0 = jnp.full((cs, rt), INF, dtype=jnp.float32)
+            acc_s0 = jnp.full((cs, rt), _BIG_ID, dtype=jnp.int32)
+            acc_t, acc_s = jax.lax.fori_loop(
+                0, trips, body, (acc_t0, acc_s0)
+            )
+            tmin = jnp.min(acc_t, axis=0, keepdims=True)  # [1, RT]
+            smin = jnp.min(
+                jnp.where(acc_t == tmin, acc_s, _BIG_ID), axis=0,
+                keepdims=True
+            )
+            t_ref[:, lo:lo + rt] = tmin
+            i_ref[:, lo:lo + rt] = smin
+        else:
+            # Occlusion: min-accumulate t (misses are +inf, and the t_max
+            # cut is already applied inside the intersector) — an f32
+            # carry, since Mosaic cannot carry wide i1 vectors through
+            # loops.
+            def body(j, acc_t):
+                return jnp.minimum(acc_t, intersect(cluster_of(j)))
+
+            acc_t0 = jnp.full((cs, rt), INF, dtype=jnp.float32)
+            acc_t = jax.lax.fori_loop(0, trips, body, acc_t0)
+            tmin = jnp.min(acc_t, axis=0, keepdims=True)
+            t_ref[:, lo:lo + rt] = tmin
+            i_ref[:, lo:lo + rt] = (tmin < INF).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -329,7 +361,7 @@ def rays_to_soa(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 
 def _pad_rays_soa(rays8):
     n = rays8.shape[1]
-    pad = (-n) % RAY_TILE
+    pad = (-n) % (RAY_TILE * SUBTILES)
     if pad:
         # Padding rays: origin 0, direction +z (valid, finite, never read).
         col = jnp.array([0, 0, 0, 1, 0, 0, 1, 0], rays8.dtype)[:, None]
@@ -339,17 +371,31 @@ def _pad_rays_soa(rays8):
     return rays8, n
 
 
-# SMEM budget for the scalar-prefetched visit lists (SMEM is scarce; ids
-# are [n_tiles, C] i32 and must fit alongside counts).
-_SMEM_IDS_BUDGET_BYTES = 256 * 1024
+# SMEM budget for the scalar-prefetched visit lists (v5e SMEM is 1 MB
+# total; ids are [n_tiles, C] i32 and must fit alongside counts). Each
+# over-budget chunk becomes a separate kernel launch inside a lax.map,
+# and launches cost ~0.2 ms each — so the budget is set near the ceiling.
+_SMEM_IDS_BUDGET_BYTES = 640 * 1024
+
+# Visit lists wider than this are sliced to keep the SMEM footprint — and
+# therefore the launch count — independent of C. Correctness is preserved
+# for any count: the kernel detects cnt > width and falls back to scanning
+# ALL clusters for that tile (see _walk_kernel). On the coherent teapot
+# frame the max count is 55 (cluster_size 16, 1024-ray tiles), so the
+# fallback only triggers for incoherent batches that culling cannot help.
+_MAX_VISITS = 128
 
 
 def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret):
     """Launch the walk kernel, chunking ray tiles so the SMEM-resident
     visit lists stay inside budget at any ray count. Returns (t, i) as
-    [1, n_tiles*RAY_TILE] rows."""
+    [1, n_tiles*RAY_TILE] rows. cnt is passed through UNclamped — the
+    kernel's overflow fallback needs the true count."""
+    if ids.shape[1] > _MAX_VISITS:
+        ids = ids[:, :_MAX_VISITS]
     n_tiles, c = ids.shape
-    max_tiles = max(1, _SMEM_IDS_BUDGET_BYTES // (4 * c))
+    max_tiles = max(SUBTILES,
+                    _SMEM_IDS_BUDGET_BYTES // (4 * c) // SUBTILES * SUBTILES)
     if n_tiles <= max_tiles:
         return _launch_single(kernel, cnt, ids, rays8, blocks, interpret)
     pad_t = (-n_tiles) % max_tiles
@@ -376,17 +422,18 @@ def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret):
 
 def _launch_single(kernel, cnt, ids, rays8, blocks, interpret):
     rp = rays8.shape[1]
-    n_tiles = rp // RAY_TILE
+    step = RAY_TILE * SUBTILES
+    n_steps = rp // step
     blk_shape = blocks.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles,),
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((8, RAY_TILE), lambda i, *_: (0, i)),
+            pl.BlockSpec((8, step), lambda i, *_: (0, i)),
             pl.BlockSpec(blk_shape, lambda i, *_: (0,) * len(blk_shape)),
         ],
         out_specs=[
-            pl.BlockSpec((1, RAY_TILE), lambda i, *_: (0, i)) for _ in range(2)
+            pl.BlockSpec((1, step), lambda i, *_: (0, i)) for _ in range(2)
         ],
     )
     out_shape = [

@@ -114,3 +114,23 @@ def test_pallas_grad_through_lazy_t(setup):
     g = np.asarray(jax.grad(loss)(mesh.verts))
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
+
+
+def test_visit_list_overflow_fallback(setup, rng, monkeypatch):
+    """Tiles whose true cluster count exceeds the static visit-list width
+    must fall back to scanning all clusters — incoherent ray batches hit
+    this (the frustum of a random-direction tile covers the whole scene)."""
+    import raytracing_tpu.kernels.traverse as T
+
+    mesh, accel, _, _ = setup
+    monkeypatch.setattr(T, "_MAX_VISITS", 2)  # force overflow on any tile
+    n = 64
+    o = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)  # fully incoherent
+    hb = nearest_hit_brute(triangle_soa(mesh.verts, mesh.tri_v),
+                           jnp.asarray(o), jnp.asarray(d))
+    hp = nearest_hit_pallas(mesh, accel, jnp.asarray(o), jnp.asarray(d),
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(hp.hit))
+    m = np.asarray(hb.hit)
+    np.testing.assert_array_equal(np.asarray(hb.tri)[m], np.asarray(hp.tri)[m])
