@@ -49,6 +49,12 @@ class ClusterAccel(NamedTuple):
     BVH-refit contract.
 
     tri_blocks:   [C, 9, CS]  f32 — v0/e1/e2 rows, triangles on lanes
+    pmt_blocks:   [C, 12, CS] f32 — Baldwin–Weber precomputed form:
+                  rows n(3), d0 = n·v0, U(3), u0 = -U·v0, V(3), v0c = -V·v0
+                  with U = (e2 x n)/|n|^2, V = (n x e1)/|n|^2. Trades 3
+                  extra stored rows for ~30% fewer VPU ops per
+                  (ray, triangle) in the walk kernel: t from one plane
+                  dot, u/v from two point dots — no per-ray cross products.
     woop_blocks:  [C, 8, 6*CS] f32 — affine unit-triangle transforms in
                   matmul layout (see kernels/traverse.pack layout docs)
     order_blocks: [C, CS] i32 — lane -> original triangle id (0 on padding)
@@ -59,6 +65,7 @@ class ClusterAccel(NamedTuple):
     cluster_min: jnp.ndarray
     cluster_max: jnp.ndarray
     tri_blocks: jnp.ndarray
+    pmt_blocks: jnp.ndarray
     woop_blocks: jnp.ndarray
     order_blocks: jnp.ndarray
 
@@ -139,7 +146,7 @@ def build_cluster_accel(
     vmin = np.where(valid[:, None, None], tri_verts, big).reshape(c, -1, 3).min(axis=1)
     vmax = np.where(valid[:, None, None], tri_verts, -big).reshape(c, -1, 3).max(axis=1)
 
-    tri_blocks, woop_blocks = _kernel_blocks_host(
+    tri_blocks, pmt_blocks, woop_blocks = _kernel_blocks_host(
         tri_verts.astype(np.float32), valid, c, cluster_size
     )
     return ClusterAccel(
@@ -148,6 +155,7 @@ def build_cluster_accel(
         cluster_min=jnp.asarray(vmin.astype(np.float32)),
         cluster_max=jnp.asarray(vmax.astype(np.float32)),
         tri_blocks=jnp.asarray(tri_blocks),
+        pmt_blocks=jnp.asarray(pmt_blocks),
         woop_blocks=jnp.asarray(woop_blocks),
         order_blocks=jnp.asarray(
             order.astype(np.int32).reshape(c, cluster_size)
@@ -179,6 +187,26 @@ def _kernel_blocks_host(
     comp = np.concatenate([v0, e1, e2], axis=1)  # [S, 9]
     tri_blocks = comp.reshape(c, cs, 9).transpose(0, 2, 1)
 
+    # Baldwin–Weber rows (see ClusterAccel docstring). Padding tris have
+    # n = 0 -> plane denominator 0 -> always rejected by the eps test.
+    nbw = np.cross(e1, e2)
+    n2 = np.einsum("sk,sk->s", nbw, nbw)
+    inv_n2 = np.where(n2 > 0, 1.0 / np.where(n2 > 0, n2, 1.0), 0.0)[:, None]
+    U = np.cross(e2, nbw) * inv_n2
+    V = np.cross(nbw, e1) * inv_n2
+    pmt = np.concatenate(
+        [
+            nbw,
+            np.einsum("sk,sk->s", nbw, v0)[:, None],
+            U,
+            -np.einsum("sk,sk->s", U, v0)[:, None],
+            V,
+            -np.einsum("sk,sk->s", V, v0)[:, None],
+        ],
+        axis=1,
+    ).astype(np.float32)  # [S, 12]
+    pmt_blocks = pmt.reshape(c, cs, 12).transpose(0, 2, 1)
+
     n = np.cross(e1, e2)
     c23 = np.cross(e2, n)
     c31 = np.cross(n, e1)
@@ -197,7 +225,7 @@ def _kernel_blocks_host(
     woop_blocks = (
         w.reshape(c, cs, 8, 6).transpose(0, 2, 3, 1).reshape(c, 8, 6 * cs)
     )
-    return tri_blocks, np.ascontiguousarray(woop_blocks)
+    return tri_blocks, pmt_blocks, np.ascontiguousarray(woop_blocks)
 
 
 def packed_triangles(mesh: Mesh, accel: ClusterAccel) -> TriangleSoA:

@@ -24,8 +24,14 @@ the TPU's strengths:
       best (t, slot) accumulators defer all cross-element reduction to one
       post-loop step (the reference's progressive `closest_splat` re-splat,
       main.rs:127, is free — each element owns its best).
-      Two intersection variants:
-        "mt"    — default; Möller–Trumbore entirely on the VPU as
+      Three intersection variants:
+        "pmt"   — default; Baldwin–Weber precomputed form on the VPU:
+                  t from one plane dot, u/v from two dots of the shared
+                  hit point — the per-ray cross products are folded into
+                  the build-time precompute (12 rows/tri vs MT's 9).
+                  Exact f32; may differ from MT only where two results
+                  are within one rounding of each other.
+        "mt"    — Möller–Trumbore entirely on the VPU as
                   [CS, 1] x [1, RT] outer-product broadcasts (the 8-wide
                   simd_accel.rs:282-331 math at [CS, RT] width). Exact f32,
                   and measured FASTER than the exact-precision matmul form
@@ -70,8 +76,8 @@ from raytracing_tpu.ops.intersect import INF, TriangleSoA, moller_trumbore
 from raytracing_tpu.ops.trace import Hit
 
 RAY_TILE = 1024  # rays per culling tile: 16x16 pixels x 4 spp in block order
-SUBTILES = 1  # culling tiles per grid step (sweep said 1024x1 beats 256x4)
-DEFAULT_VARIANT = "mt"
+SUBTILES = 2  # culling tiles per grid step (amortizes per-step cost)
+DEFAULT_VARIANT = "pmt"
 _TINY = 1e-20
 _BIG_ID = 2 ** 30  # python int: kernels may not capture traced constants
 
@@ -197,6 +203,43 @@ def _mt_tile(o, d, blk, eps, t_limit=None):
     return jnp.where(valid, t, INF)
 
 
+def _pmt_tile(o, d, blk, eps, t_limit=None):
+    """Baldwin–Weber precomputed-form intersection in the transposed
+    layout: o/d are tuples of [1, RT] rows, blk [12, CS] (rows n, d0, U,
+    u0, V, v0c — see accel.packets). ~30% fewer VPU ops than `_mt_tile`:
+    t from one plane dot, u/v from two dots of the SHARED hit point — the
+    per-ray cross products vanish into the build-time precompute. Exact
+    f32 like MT (one extra rounding through the t division).
+    Returns t [CS, RT], +inf on miss."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    cs = blk.shape[1]
+
+    def col(k):
+        return jnp.reshape(blk[k:k + 1, :], (cs, 1))
+
+    nx, ny, nz, d0 = col(0), col(1), col(2), col(3)
+    ux, uy, uz, u0 = col(4), col(5), col(6), col(7)
+    vx, vy, vz, v0c = col(8), col(9), col(10), col(11)
+    den = nx * dx + ny * dy + nz * dz            # [CS, RT]
+    t = (d0 - (nx * ox + ny * oy + nz * oz)) / den
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    u = ux * px + uy * py + uz * pz + u0
+    v = vx * px + vy * py + vz * pz + v0c
+    valid = (
+        (jnp.abs(den) >= eps)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > eps)
+    )
+    if t_limit is not None:
+        valid = valid & (t < t_limit)
+    return jnp.where(valid, t, INF)
+
+
 def _woop_tile_t(rays8t, blk, cs, eps, t_limit=None):
     """Woop-transform intersection of the ray tile against one cluster:
     rays8t [8, RT] (SoA rows), blk [8, 6*CS]. The transform is ONE MXU
@@ -282,6 +325,9 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, tri_ref,
             if variant == "woop":
                 return _woop_tile_t(rays8t, tri_ref[c], cs, eps,
                                     None if nearest else t_max)
+            if variant == "pmt":
+                return _pmt_tile(o_cols, d_cols, tri_ref[c], eps,
+                                 None if nearest else t_max)
             return _mt_tile(o_cols, d_cols, tri_ref[c], eps,
                             None if nearest else t_max)
 
@@ -505,7 +551,8 @@ def nearest_hit_soa(
     rp, r = _pad_rays_soa(rays8)
     ids, cnt = _tile_visit_lists_soa(rp, accel.cluster_min,
                                      accel.cluster_max, RAY_TILE)
-    blocks = accel.woop_blocks if variant == "woop" else accel.tri_blocks
+    blocks = {"woop": accel.woop_blocks,
+              "pmt": accel.pmt_blocks}.get(variant, accel.tri_blocks)
     kern = functools.partial(
         _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
         variant=variant, nearest=True, t_max=float("inf"),
@@ -535,7 +582,8 @@ def any_hit_soa(
     rp, r = _pad_rays_soa(rays8)
     ids, cnt = _tile_visit_lists_soa(rp, accel.cluster_min,
                                      accel.cluster_max, RAY_TILE)
-    blocks = accel.woop_blocks if variant == "woop" else accel.tri_blocks
+    blocks = {"woop": accel.woop_blocks,
+              "pmt": accel.pmt_blocks}.get(variant, accel.tri_blocks)
     kern = functools.partial(
         _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
         variant=variant, nearest=False, t_max=t_max,
