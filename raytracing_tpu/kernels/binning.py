@@ -1,0 +1,92 @@
+"""Wavefront ray binning: sort rays into culling-coherent tiles.
+
+The traversal kernel culls per RAY TILE (kernels/traverse.py): a tile's
+cost is the number of clusters its bounding frustum touches. Primary rays
+arrive pre-tiled by pixel block (models/camera.block_permutation), but
+secondary rays inherit their PARENT's order — a shadow/bounce tile then
+mixes hit points from different surfaces (a teapot patch and the ground
+50 units behind it), and its frustum balloons to cover everything in
+between. GPU wavefront tracers solve this with ray sorting (Laine et al.,
+"Megakernels Considered Harmful" — public technique); the TPU version is
+one XLA sort over a compact integer key:
+
+    key = morton(quantized ray origin) << DIR_BITS | direction_bin
+
+Position Morton puts rays from the same surface patch in the same tile
+(shadow rays then form thin beams toward the sun); the direction bin
+splits hemisphere-sampled bounce rays into cones so a tile's frustum is a
+small box x 1/16th of the sphere instead of a box x everything.
+
+Everything here is permutation bookkeeping — results are gathered back to
+the caller's order, so binning is semantically invisible.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+POS_BITS = 6   # per-axis quantization -> 18-bit Morton (64^3 cells)
+DIR_BITS = 4   # 3-bit octant + 1 bit dominant-axis split -> 16 cones
+
+
+def _spread3(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of v so consecutive bits land 3 apart."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton3(p: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
+            bits: int = POS_BITS) -> jnp.ndarray:
+    """Morton (Z-order) code of points p [N, 3] quantized to 2^bits cells
+    per axis inside the [lo, hi] box (clamped outside)."""
+    scale = (2.0 ** bits - 1.0) / jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip((p - lo) * scale, 0.0, 2.0 ** bits - 1.0).astype(jnp.int32)
+    return (
+        (_spread3(q[:, 0]) << 2)
+        | (_spread3(q[:, 1]) << 1)
+        | _spread3(q[:, 2])
+    )
+
+
+def direction_bin(d: jnp.ndarray) -> jnp.ndarray:
+    """16-cone direction bin: sign octant (3 bits) + dominant axis bit."""
+    ax = jnp.abs(d)
+    oct_ = (
+        (d[:, 0] > 0).astype(jnp.int32) * 4
+        + (d[:, 1] > 0).astype(jnp.int32) * 2
+        + (d[:, 2] > 0).astype(jnp.int32)
+    )
+    dom_z = (ax[:, 2] >= jnp.maximum(ax[:, 0], ax[:, 1])).astype(jnp.int32)
+    return oct_ * 2 + dom_z
+
+
+def ray_bin_order(
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    alive: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Permutation that groups rays by (origin cell, direction cone), with
+    dead rays compacted to the END (their tiles then cull to nothing).
+
+    Returns (order, inv): trace x[order], read results back through inv.
+    """
+    key = (morton3(o, lo, hi) << DIR_BITS) | direction_bin(d)
+    if alive is not None:
+        # Dead lanes sort after every live key.
+        key = jnp.where(alive, key, jnp.int32(1) << 30)
+    order = jnp.argsort(key).astype(jnp.int32)
+    inv = jnp.argsort(order).astype(jnp.int32)
+    return order, inv
+
+
+def scene_bounds(accel) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantization box from the accel's cluster AABBs."""
+    return accel.cluster_min.min(axis=0), accel.cluster_max.max(axis=0)

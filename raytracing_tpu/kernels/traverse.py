@@ -112,18 +112,34 @@ def _tile_visit_lists(o, d, cluster_min, cluster_max, rt):
 
 
 def _tile_visit_lists_soa(rays8, cluster_min, cluster_max, rt):
-    """Visit lists from the SoA ray pack [8, N] (rows ox oy oz 1 dx dy dz 0).
-    Identical math to `_tile_visit_lists`, but the per-tile min/max reduce
-    runs over the TPU-friendly minor (lane) axis."""
+    """Visit lists from the SoA ray pack [8, N] (rows ox oy oz 1 dx dy dz
+    ALIVE). The per-tile frustum is computed over ALIVE lanes only (row 7
+    != 0): dead lanes — padding, children of miss parents, zero-weight
+    paths — carry arbitrary garbage o/d that would otherwise widen a mixed
+    tile's frustum to the whole scene. An all-dead tile gets cnt = 0 and
+    costs one empty grid step."""
     n = rays8.shape[1]
     nt = n // rt
     r = rays8.reshape(8, nt, rt)
-    o_lo = jnp.moveaxis(r[0:3].min(axis=2), 0, 1)  # [nt, 3]
-    o_hi = jnp.moveaxis(r[0:3].max(axis=2), 0, 1)
-    d_lo = jnp.moveaxis(r[4:7].min(axis=2), 0, 1)
-    d_hi = jnp.moveaxis(r[4:7].max(axis=2), 0, 1)
-    return _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi,
-                                     cluster_min, cluster_max)
+    a = r[7] != 0.0  # [nt, rt]
+    big = jnp.float32(3e38)
+
+    def masked(rows, sign):
+        out = []
+        for k in rows:
+            v = jnp.where(a, r[k], sign * big)
+            out.append(v.min(axis=1) if sign > 0 else v.max(axis=1))
+        return jnp.stack(out, axis=1)  # [nt, 3]
+
+    o_lo = masked((0, 1, 2), +1)
+    o_hi = masked((0, 1, 2), -1)
+    d_lo = masked((4, 5, 6), +1)
+    d_hi = masked((4, 5, 6), -1)
+    ids, tnear, cnt = _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi,
+                                                cluster_min, cluster_max)
+    tile_alive = a.any(axis=1)
+    cnt = jnp.where(tile_alive, cnt, 0)
+    return ids, tnear, cnt
 
 
 def _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi, cluster_min,
@@ -404,17 +420,28 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, tri_ref,
 # ---------------------------------------------------------------------------
 
 
-def rays_to_soa(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+def rays_to_soa(o: jnp.ndarray, d: jnp.ndarray, alive=None) -> jnp.ndarray:
     """[N, 3] origins/directions -> the SoA ray pack [8, N] with rows
-    (ox oy oz 1 dx dy dz 0) — simultaneously the kernel's preferred HBM
-    layout (dense lanes, no 3->128 pad) and the Woop matmul operand."""
+    (ox oy oz 1 dx dy dz ALIVE) — simultaneously the kernel's preferred
+    HBM layout (dense lanes, no 3->128 pad) and the Woop matmul operand
+    (whose coefficient for rows 3/7 is fixed at build time, so the alive
+    flag in row 7 never reaches the intersection math).
+
+    alive: optional [N] bool — lanes marked dead are excluded from the
+    tile-frustum culling (their o/d may be garbage) and all-dead tiles
+    trace for free. Dead lanes still produce a (meaningless, masked-by-
+    caller) result."""
     n = o.shape[0]
+    if alive is None:
+        row7 = jnp.ones((1, n), o.dtype)
+    else:
+        row7 = alive.astype(o.dtype)[None, :]
     return jnp.concatenate(
         [
             o.T,
             jnp.ones((1, n), o.dtype),
             d.T,
-            jnp.zeros((1, n), d.dtype),
+            row7,
         ],
         axis=0,
     )
@@ -424,7 +451,8 @@ def _pad_rays_soa(rays8):
     n = rays8.shape[1]
     pad = (-n) % (RAY_TILE * SUBTILES)
     if pad:
-        # Padding rays: origin 0, direction +z (valid, finite, never read).
+        # Padding rays: finite, and DEAD (row 7 = 0) so padding tiles
+        # cull to zero visits.
         col = jnp.array([0, 0, 0, 1, 0, 0, 1, 0], rays8.dtype)[:, None]
         rays8 = jnp.concatenate(
             [rays8, jnp.broadcast_to(col, (8, pad))], axis=1
@@ -615,12 +643,13 @@ def nearest_hit_pallas(
     eps: float = 1e-8,
     interpret: bool | None = None,
     variant: str = DEFAULT_VARIANT,
+    alive: jnp.ndarray | None = None,
 ) -> Hit:
     """Nearest hit via the Pallas megakernel. Returns original triangle ids
     and a t that is the kernel's value forward but differentiates through a
     live-vertex re-derivation backward (see module docstring)."""
     sg = jax.lax.stop_gradient
-    rays8 = rays_to_soa(sg(o), sg(d))
+    rays8 = rays_to_soa(sg(o), sg(d), alive=alive)
     t_k, tri_id = nearest_hit_soa(accel, rays8, eps, interpret, variant)
     hit = jnp.isfinite(t_k)
     tv_packed = sg(mesh.tri_v)
@@ -637,7 +666,8 @@ def any_hit_pallas(
     t_max: float = float("inf"),
     interpret: bool | None = None,
     variant: str = DEFAULT_VARIANT,
+    alive: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     sg = jax.lax.stop_gradient
-    rays8 = rays_to_soa(sg(o), sg(d))
+    rays8 = rays_to_soa(sg(o), sg(d), alive=alive)
     return any_hit_soa(accel, rays8, eps, t_max, interpret, variant)

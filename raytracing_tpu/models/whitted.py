@@ -44,8 +44,17 @@ from raytracing_tpu.ops.color import gamma_correct
 from raytracing_tpu.ops.intersect import reflect, triangle_normal
 from raytracing_tpu.ops.linalg import dot, normalize
 from raytracing_tpu.ops.sampling import cosine_hemisphere
+from raytracing_tpu.kernels.binning import ray_bin_order, scene_bounds
 from raytracing_tpu.ops.trace import Hit
 from raytracing_tpu.tracer import any_hit, nearest_hit
+
+
+def _attribute_rows(mesh: Mesh) -> jnp.ndarray:
+    """Per-triangle shading attributes as one [T, 9] row table:
+    normal(3) | color(3) | albedo/pi, reflectivity, roughness."""
+    return jnp.concatenate(
+        [mesh.normals, mesh.colors, mesh.materials[mesh.obj_id]], axis=1
+    )
 
 
 class Shaded(NamedTuple):
@@ -74,22 +83,42 @@ def shade(
     # Miss lanes carry tri id 0 / t=1.0: harmless garbage killed by masks.
     t_safe = jnp.where(hit.hit, hit.t, 1.0)
     idx = hit.tri
+    # ONE row gather fetches all 9 per-triangle attributes: separate
+    # normals/colors/materials gathers each cost a full gather pass on TPU
+    # (~0.5 ms per call at 65k rays); a fused [T, 9] row table amortizes
+    # them. Geometric normals still need the vertex gathers (they depend
+    # on live verts for autodiff).
+    attrs = jnp.take(_attribute_rows(mesh), idx, axis=0)  # [N, 9]
     if config.normals == "geometric":
         tv = mesh.tri_v[idx]
         n = triangle_normal(
             mesh.verts[tv[:, 0]], mesh.verts[tv[:, 1]], mesh.verts[tv[:, 2]]
         )
     else:
-        n = mesh.normals[idx]
+        n = attrs[:, 0:3]
     pos = o + t_safe[:, None] * d + n * config.normal_offset
-    color = mesh.colors[idx]
-    mat = mesh.materials[mesh.obj_id[idx]]
-    albedo_pi, refl, rough = mat[:, 0], mat[:, 1], mat[:, 2]
+    color = attrs[:, 3:6]
+    albedo_pi, refl, rough = attrs[:, 6], attrs[:, 7], attrs[:, 8]
 
     sun_dir = normalize(sun - pos, eps=1e-20)
     ndl = dot(n, sun_dir)
     facing = ndl > 0.0  # the reference's backface "cheat" (main.rs:189)
-    occluded = any_hit(mesh, accel, pos, sun_dir, config)
+    # Shadow rays only matter where they can change the result; mark the
+    # rest dead (miss lanes and backfacing hits) — the wavefront carries
+    # them at static shape, but accelerated backends cull dead lanes from
+    # their tile decisions and all-dead tiles trace for free. The query is
+    # BINNED by hit position: one parent tile's hit points can straddle
+    # surfaces tens of units apart (teapot silhouette + ground behind it),
+    # and a mixed tile's frustum covers everything in between.
+    sh_alive = hit.hit & facing
+    if config.backend == "pallas" and accel is not None:
+        lo, hi = scene_bounds(accel)
+        order, inv = ray_bin_order(pos, sun_dir, lo, hi, sh_alive)
+        occluded = any_hit(mesh, accel, pos[order], sun_dir[order], config,
+                           alive=sh_alive[order])[inv]
+    else:
+        occluded = any_hit(mesh, accel, pos, sun_dir, config,
+                           alive=sh_alive)
     lit = hit.hit & facing & ~occluded
     direct = jnp.where(
         lit[:, None], color * (ndl * albedo_pi)[:, None], 0.0
@@ -116,19 +145,35 @@ def render_rays(
     # ---- forward sweep: trace + shade each level, spawn children --------
     levels = []
     o_l, d_l = o, d
+    alive_l = None  # primary rays are all alive
     for depth in range(1, max_depth + 1):
         n_l = o_l.shape[0]
-        h = nearest_hit(mesh, accel, o_l, d_l, config)
-        sh = shade(mesh, accel, sun, o_l, d_l, h, config)
+        if depth > 1 and config.backend == "pallas" and accel is not None:
+            # Bounce levels inherit parent order; re-bin by (origin cell,
+            # direction cone) so ray tiles stay cullable, then gather the
+            # per-ray outputs back to parent order for the radiance sweep.
+            lo_, hi_ = scene_bounds(accel)
+            order, inv = ray_bin_order(o_l, d_l, lo_, hi_, alive_l)
+            h = nearest_hit(mesh, accel, o_l[order], d_l[order], config,
+                            alive=alive_l[order])
+            sh = shade(mesh, accel, sun, o_l[order], d_l[order], h, config)
+            h = Hit(t=h.t[inv], tri=h.tri[inv], hit=h.hit[inv])
+            sh = Shaded(*(x[inv] for x in sh))
+        else:
+            h = nearest_hit(mesh, accel, o_l, d_l, config, alive=alive_l)
+            sh = shade(mesh, accel, sun, o_l, d_l, h, config)
         has_r = depth < config.reflect_depth
         has_d = depth < config.diffuse_depth
         info = {"hit": h.hit, "direct": sh.direct, "has_r": has_r,
                 "has_d": has_d, "n_rays": n_l}
         if has_r or has_d:
-            parts_o, parts_d = [], []
+            parts_o, parts_d, parts_a = [], [], []
             if has_r:
-                parts_d.append(reflect(d_l, sh.n))
+                # Children with zero throughput are dead on arrival; keep
+                # the slot (static wavefront shape) but mark it dead.
                 parts_o.append(sh.pos)
+                parts_d.append(reflect(d_l, sh.n))
+                parts_a.append(h.hit & (sh.refl > 0.0))
                 info["w_refl"] = jnp.where(h.hit[:, None], sh.refl[:, None], 0.0)
             if has_d:
                 kd = jax.random.fold_in(key, depth)
@@ -136,12 +181,17 @@ def render_rays(
                 cosj = dot(jnp.broadcast_to(sh.n[None], wdirs.shape), wdirs)
                 w_d = sh.color[None] * (cosj * sh.rough[None])[..., None]
                 info["w_diff"] = jnp.where(h.hit[None, :, None], w_d, 0.0)
-                parts_d.append(wdirs.reshape(s * n_l, 3))
                 parts_o.append(
                     jnp.broadcast_to(sh.pos[None], (s, n_l, 3)).reshape(s * n_l, 3)
                 )
+                parts_d.append(wdirs.reshape(s * n_l, 3))
+                parts_a.append(
+                    jnp.broadcast_to((h.hit & (sh.rough > 0.0))[None],
+                                     (s, n_l)).reshape(s * n_l)
+                )
             o_l = jnp.concatenate(parts_o, axis=0)
             d_l = jnp.concatenate(parts_d, axis=0)
+            alive_l = jnp.concatenate(parts_a, axis=0)
         levels.append(info)
 
     # ---- backward sweep: accumulate radiance bottom-up ------------------
@@ -188,6 +238,16 @@ def render(
     r = spp * h * w
     o = o.reshape(r, 3)
     d = d.reshape(r, 3)
+    # Pixel-block ray order: the traversal kernel culls per tile of
+    # consecutive rays, and a 16x16-pixel block's frustum intersects ~3x
+    # fewer clusters than a flat scanline strip. Applied on EVERY backend
+    # (it is order-only) so the per-ray RNG assignment — and therefore the
+    # rendered image — is bit-identical across backends.
+    from raytracing_tpu.models.camera import block_permutation
+
+    perm, inv = block_permutation(spp, h, w, 16, 16)
+    o = o[perm]
+    d = d[perm]
     chunk = min(config.chunk_size, r)
     o = _pad_to_multiple(o, chunk)
     d = _pad_to_multiple(d, chunk)
@@ -199,6 +259,6 @@ def render(
         lambda args: body(args[0], args[1], key=args[2]),
         (o.reshape(nc, chunk, 3), d.reshape(nc, chunk, 3), keys),
     )
-    rgb = rgb.reshape(-1, 3)[:r]
+    rgb = rgb.reshape(-1, 3)[inv]
     # Per-sample gamma already applied (reference order); average the spp.
     return rgb.reshape(spp, h, w, 3).mean(axis=0)

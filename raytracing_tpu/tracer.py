@@ -34,7 +34,12 @@ def nearest_hit(
     o: jnp.ndarray,
     d: jnp.ndarray,
     config: RenderConfig,
+    alive: Optional[jnp.ndarray] = None,
 ) -> Hit:
+    """alive: optional [R] bool wavefront mask — dead lanes may carry
+    garbage rays; accelerated backends exclude them from culling decisions
+    and their results are meaningless (callers mask by weight). Dense
+    backends ignore it."""
     if config.backend == "bruteforce" or accel is None:
         tri = triangle_soa(mesh.verts, mesh.tri_v)
         return nearest_hit_brute(tri, o, d, config.eps)
@@ -43,7 +48,8 @@ def nearest_hit(
     if config.backend == "pallas":
         from raytracing_tpu.kernels.traverse import nearest_hit_pallas
 
-        return nearest_hit_pallas(mesh, accel, o, d, config.eps)
+        return nearest_hit_pallas(mesh, accel, o, d, config.eps,
+                                  alive=alive)
     raise ValueError(f"unknown backend {config.backend!r}")
 
 
@@ -54,6 +60,7 @@ def any_hit(
     d: jnp.ndarray,
     config: RenderConfig,
     t_max=INF,
+    alive: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     if config.backend == "bruteforce" or accel is None:
         tri = triangle_soa(mesh.verts, mesh.tri_v)
@@ -63,5 +70,6 @@ def any_hit(
     if config.backend == "pallas":
         from raytracing_tpu.kernels.traverse import any_hit_pallas
 
-        return any_hit_pallas(mesh, accel, o, d, config.eps, t_max)
+        return any_hit_pallas(mesh, accel, o, d, config.eps, t_max,
+                              alive=alive)
     raise ValueError(f"unknown backend {config.backend!r}")
