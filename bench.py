@@ -38,10 +38,12 @@ def main() -> None:
     on = np.asarray(o).reshape(-1, 3)[np.asarray(perm)]
     dn = np.asarray(d).reshape(-1, 3)[np.asarray(perm)]
     measured = on.shape[0]
+    # SoA rows: ox oy oz 1 dx dy dz ALIVE (row 7 = 1.0 marks live lanes;
+    # see kernels.traverse.rays_to_soa).
     rays8 = jnp.asarray(
         np.concatenate(
             [on.T, np.ones((1, measured), np.float32),
-             dn.T, np.zeros((1, measured), np.float32)], axis=0
+             dn.T, np.ones((1, measured), np.float32)], axis=0
         )
     )
 
@@ -51,8 +53,13 @@ def main() -> None:
         hit = jnp.isfinite(t)
         return jnp.sum(t, where=hit), jnp.sum(hit)
 
-    # warmup / compile
+    # warmup / compile — and a sanity gate: on the teapot frame roughly
+    # half the primary rays hit geometry. A broken kernel (or an all-dead
+    # ray pack) would "win" the benchmark by tracing nothing; refuse to
+    # report a number unless the hit count is plausible.
     tsum, hits = jax.block_until_ready(frame(rays8))
+    hit_frac = float(hits) / measured
+    assert 0.2 < hit_frac < 0.9, f"implausible hit fraction {hit_frac:.3f}"
     iters = 20 if on_tpu else 1
     t0 = time.perf_counter()
     for _ in range(iters):
