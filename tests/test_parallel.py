@@ -63,7 +63,10 @@ def test_train_step_runs_and_reduces_loss():
     step = make_train_step(cfg, opt, dmesh)
 
     # Target: render of the true scene; start from perturbed vertices.
-    n = 256
+    # (Kept small: this compiles a full value_and_grad of the renderer
+    # under shard_map over 8 virtual devices — minutes of XLA CPU compile
+    # on a small host; the shapes only need to exercise the collectives.)
+    n = 128
     xs = np.linspace(-0.15, 0.15, n).astype(np.float32)
     o = jnp.zeros((n, 3))
     d = jnp.stack([jnp.asarray(xs), jnp.asarray(xs) * 0.3 + 0.02,
@@ -75,7 +78,7 @@ def test_train_step_runs_and_reduces_loss():
     params = {"verts": v_true + 0.05}
     opt_state = opt.init(params)
     losses = []
-    for i in range(10):
+    for i in range(6):
         params, opt_state, loss = step(
             params, opt_state, scene.mesh, None, scene.sun, o, d, target, key
         )
