@@ -21,7 +21,7 @@ gradient flow to vertices.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,24 @@ class ClusterAccel(NamedTuple):
     rebuild with `build_cluster_accel` (host, ~ms) — the standard
     BVH-refit contract.
 
+    attr_blocks:  [C, A, CS] f32 — per-triangle shading attributes in
+                  kernel layout. The walk kernel accumulates the winning
+                  triangle's rows alongside t, which replaces the
+                  post-trace attribute gather — a serial ~7 cycles/element
+                  on TPU, measured 19.5 ms for one 2.56 M-ray id gather vs
+                  5.7 ms for the whole traversal — with one vector select
+                  per plane per visit (~0.55 ms/plane/frame). Two modes:
+                    A=4 ("objid", when every object's triangles share one
+                        color — the common case, incl. the reference
+                        scene): normal(3) | obj_id, with color+material
+                        reconstructed EXACTLY from attr_tables by a
+                        trace-time select chain;
+                    A=9 ("full", true per-triangle colors): normal(3) |
+                        color(3) | albedo/pi, reflectivity, roughness.
+                  Detached by construction; the differentiable path
+                  re-gathers in backward only (traverse._lazy_attrs).
+    attr_tables:  [O, 6] f32 (objid mode) — per-object color(3) +
+                  material(3) rows; None in full mode.
     tri_blocks:   [C, 9, CS]  f32 — v0/e1/e2 rows, triangles on lanes
     pmt_blocks:   [C, 12, CS] f32 — Baldwin–Weber precomputed form:
                   rows n(3), d0 = n·v0, U(3), u0 = -U·v0, V(3), v0c = -V·v0
@@ -68,6 +86,8 @@ class ClusterAccel(NamedTuple):
     pmt_blocks: jnp.ndarray
     woop_blocks: jnp.ndarray
     order_blocks: jnp.ndarray
+    attr_blocks: jnp.ndarray
+    attr_tables: Optional[jnp.ndarray]
 
     @property
     def num_clusters(self) -> int:
@@ -95,6 +115,30 @@ def _morton_codes(centroids: np.ndarray) -> np.ndarray:
     return (expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1) | expand(q[:, 2])
 
 
+def _median_split_order(cent: np.ndarray, cs: int) -> np.ndarray:
+    """Recursive longest-axis median split into contiguous `cs`-sized runs —
+    the leaf layer of an object-median BVH, flattened. Versus a Morton sort
+    (whose Z-order jumps leave fat cluster AABBs), the split keeps every
+    cluster a compact spatial blob: measured on the teapot frame it cuts
+    tile-visit triangle tests from 64 to 28 per ray at cs=8. Split counts
+    are kept multiples of cs so clusters never straddle a split plane."""
+    out = []
+
+    def rec(ids: np.ndarray) -> None:
+        if len(ids) <= cs:
+            out.append(ids)
+            return
+        c = cent[ids]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        half = (len(ids) // 2 // cs) * cs or cs
+        srt = ids[np.argsort(c[:, ax], kind="stable")]
+        rec(srt[:half])
+        rec(srt[half:])
+
+    rec(np.arange(cent.shape[0]))
+    return np.concatenate(out)
+
+
 def _index_sort_order(tri_v: np.ndarray) -> np.ndarray:
     """The reference's locality sort (`optimize_model`, opt.rs:11-36):
     stable sort by min vertex index ascending, max vertex index descending."""
@@ -104,9 +148,10 @@ def _index_sort_order(tri_v: np.ndarray) -> np.ndarray:
 
 
 def build_cluster_accel(
-    mesh: Mesh, cluster_size: int = 128, method: str = "morton"
+    mesh: Mesh, cluster_size: int = 128, method: str = "median"
 ) -> ClusterAccel:
-    """Host-side (numpy) build. `method`: "morton" (default) or "index"
+    """Host-side (numpy) build. `method`: "median" (default; BVH-leaf
+    median split, tightest clusters), "morton" (Z-order sort), or "index"
     (reference-parity locality sort). Objects are packed independently so a
     cluster never spans two objects (mirroring the per-object build of
     opt.rs; keeps cluster AABBs tight when objects are far apart)."""
@@ -120,6 +165,9 @@ def build_cluster_accel(
         tv = tri_v[sel]
         if method == "index":
             sub = _index_sort_order(tv)
+        elif method == "median":
+            cent = verts[tv].mean(axis=1)
+            sub = _median_split_order(cent, cluster_size)
         else:
             cent = verts[tv].mean(axis=1)
             codes = _morton_codes(cent)
@@ -149,6 +197,35 @@ def build_cluster_accel(
     tri_blocks, pmt_blocks, woop_blocks = _kernel_blocks_host(
         tri_verts.astype(np.float32), valid, c, cluster_size
     )
+    # Shading attribute rows in packed order (see ClusterAccel docstring).
+    # Padding slots are all-zero: their planes never win (t = +inf).
+    normals = np.asarray(mesh.normals, dtype=np.float32)
+    colors = np.asarray(mesh.colors, dtype=np.float32)
+    materials = np.asarray(mesh.materials, dtype=np.float32)
+    n_obj = materials.shape[0]
+    # objid mode: one color per object and few enough objects that the
+    # trace-time select chain stays cheaper than 5 more kernel planes.
+    first_tri = np.searchsorted(np.sort(obj_id), np.arange(n_obj))
+    obj_colors = colors[np.argsort(obj_id, kind="stable")[first_tri]]
+    uniform = n_obj <= 32 and bool(
+        (colors == obj_colors[obj_id]).all()
+    )
+    if uniform:
+        attrs = np.concatenate(
+            [normals[order], obj_id[order][:, None].astype(np.float32)],
+            axis=1,
+        ) * valid[:, None]
+        attr_tables = jnp.asarray(
+            np.concatenate([obj_colors, materials], axis=1)
+        )
+    else:
+        attrs = np.concatenate(
+            [normals[order], colors[order], materials[obj_id[order]]],
+            axis=1,
+        ) * valid[:, None]
+        attr_tables = None
+    a_rows = attrs.shape[1]
+    attr_blocks = attrs.reshape(c, cluster_size, a_rows).transpose(0, 2, 1)
     return ClusterAccel(
         order=jnp.asarray(order.astype(np.int32)),
         slot_valid=jnp.asarray(valid),
@@ -160,6 +237,8 @@ def build_cluster_accel(
         order_blocks=jnp.asarray(
             order.astype(np.int32).reshape(c, cluster_size)
         ),
+        attr_blocks=jnp.asarray(np.ascontiguousarray(attr_blocks)),
+        attr_tables=attr_tables,
     )
 
 

@@ -76,7 +76,16 @@ from raytracing_tpu.ops.intersect import INF, TriangleSoA, moller_trumbore
 from raytracing_tpu.ops.trace import Hit
 
 RAY_TILE = 1024  # rays per culling tile: 16x16 pixels x 4 spp in block order
-SUBTILES = 2  # culling tiles per grid step (amortizes per-step cost)
+SUBTILES = 4  # culling tiles per grid step (amortizes per-step cost)
+
+# Visit lists wider than this are truncated by the top_k compaction to keep
+# the SMEM footprint — and therefore the launch count — independent of C.
+# Correctness is preserved for any count: the kernel detects cnt > width and
+# falls back to scanning ALL clusters for that tile (see _walk_kernel). On
+# the coherent teapot frame the max count is 85 (median clusters of 8,
+# 1024-ray tiles), so the fallback only triggers for incoherent batches
+# that culling cannot help.
+_MAX_VISITS = 128
 DEFAULT_VARIANT = "pmt"
 _TINY = 1e-20
 _BIG_ID = 2 ** 30  # python int: kernels may not capture traced constants
@@ -168,17 +177,18 @@ def _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi, cluster_min,
         t_near_lb = t_min_ax if k == 0 else jnp.maximum(t_near_lb, t_min_ax)
         t_far_ub = t_max_ax if k == 0 else jnp.minimum(t_far_ub, t_max_ax)
     flags = (t_near_lb <= t_far_ub) & (t_far_ub >= 0.0)
-    # FRONT-TO-BACK visit order: sort flagged clusters by their entry-t
-    # lower bound (unflagged to the back with +inf keys). The kernel walks
-    # the list in order and early-breaks once every ray's current best t
-    # precedes the next cluster's entry — the reference's progressive
-    # `closest` early-out (main.rs:93-171) at tile granularity.
+    # FRONT-TO-BACK visit lists in one shot: top_k of the negated entry-t
+    # keys compacts the flagged clusters AND orders them by entry lower
+    # bound (unflagged clusters carry +inf keys and sort to the back,
+    # beyond cnt). top_k at the final width beats a full argsort of all C
+    # clusters (~25% of the sort's cost at C=791) and its output is
+    # already visit-list-sized for the SMEM prefetch.
     keys = jnp.where(flags, t_near_lb, INF)
-    order = jnp.argsort(keys, axis=1, stable=True)
-    ids = order.astype(jnp.int32)
-    tnear = jnp.take_along_axis(keys, order, axis=1)
+    c = keys.shape[1]
+    width = min(c, _MAX_VISITS)
+    neg, ids = jax.lax.top_k(-keys, width)
     cnt = jnp.sum(flags, axis=1, dtype=jnp.int32)
-    return ids, tnear, cnt
+    return ids.astype(jnp.int32), -neg, cnt
 
 
 # ---------------------------------------------------------------------------
@@ -303,9 +313,8 @@ def _woop_tile_t(rays8t, blk, cs, eps, t_limit=None):
     return jnp.where(valid, t, INF)
 
 
-def _walk_kernel(cnt_ref, ids_ref, rays_ref, tri_ref,
-                 t_ref, i_ref, *, cluster_size, eps, variant,
-                 nearest, t_max):
+def _walk_kernel(cnt_ref, ids_ref, rays_ref, tri_ref, *refs, cluster_size,
+                 eps, variant, nearest, t_max, n_attrs=0):
     """Shared nearest/any-hit walk over the tile's visit list.
 
     Layout: everything is transposed so RAYS LIVE ON LANES and TRIANGLES
@@ -328,7 +337,22 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, tri_ref,
     ray block): the fixed per-step cost (DMA issue, bookkeeping) measured
     ~0.46 us — amortizing it over 4 tiles cuts the frame floor 4x while
     keeping the 256-ray frustum granularity that makes culling tight.
+
+    With n_attrs > 0 (nearest only), an attr_ref [C, n_attrs, CS] input
+    follows tri_ref and an a_ref [n_attrs, RT-step] output follows i_ref:
+    the loop carries one extra [CS, RT] accumulator per attribute plane,
+    selected by the same t-improved mask, and the post-loop winner mask
+    (t == tmin AND slot == smin — exactly one sublane) turns the
+    cross-sublane extraction into a masked sum. This is how per-hit
+    shading data leaves the kernel WITHOUT a post-trace gather: a 2.56
+    M-ray id gather measured 19.5 ms on v5e — 3.4x the whole traversal —
+    while the in-loop selects cost ~25%% of one intersection.
     """
+    if n_attrs:
+        attr_ref, t_ref, i_ref, a_ref = refs
+    else:
+        (t_ref, i_ref) = refs
+        attr_ref = a_ref = None
     rt_step = rays_ref.shape[1]
     subtiles = rt_step // RAY_TILE
     rt = RAY_TILE
@@ -380,19 +404,34 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, tri_ref,
             sub_slot = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
 
             def body(j, acc):
-                acc_t, acc_s = acc
+                acc_t, acc_s = acc[0], acc[1]
+                acc_a = acc[2:]
                 c = cluster_of(j)
                 t = intersect(c)  # [CS, RT]
                 slot = c * cs + sub_slot  # [CS, 1] packed slot ids
-                acc_s = jnp.where(t < acc_t, slot, acc_s)
+                better = t < acc_t
+                acc_s = jnp.where(better, slot, acc_s)
+                if n_attrs:
+                    ablk = attr_ref[c]  # [A, CS]
+                    acc_a = tuple(
+                        jnp.where(
+                            better,
+                            jnp.reshape(ablk[k:k + 1, :], (cs, 1)),
+                            acc_a[k],
+                        )
+                        for k in range(n_attrs)
+                    )
                 acc_t = jnp.minimum(acc_t, t)
-                return acc_t, acc_s
+                return (acc_t, acc_s) + acc_a
 
-            acc_t0 = jnp.full((cs, rt), INF, dtype=jnp.float32)
-            acc_s0 = jnp.full((cs, rt), _BIG_ID, dtype=jnp.int32)
-            acc_t, acc_s = jax.lax.fori_loop(
-                0, trips, body, (acc_t0, acc_s0)
+            acc0 = (
+                jnp.full((cs, rt), INF, dtype=jnp.float32),
+                jnp.full((cs, rt), _BIG_ID, dtype=jnp.int32),
+            ) + tuple(
+                jnp.zeros((cs, rt), dtype=jnp.float32) for _ in range(n_attrs)
             )
+            acc = jax.lax.fori_loop(0, trips, body, acc0)
+            acc_t, acc_s = acc[0], acc[1]
             tmin = jnp.min(acc_t, axis=0, keepdims=True)  # [1, RT]
             smin = jnp.min(
                 jnp.where(acc_t == tmin, acc_s, _BIG_ID), axis=0,
@@ -400,6 +439,16 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, tri_ref,
             )
             t_ref[:, lo:lo + rt] = tmin
             i_ref[:, lo:lo + rt] = smin
+            if n_attrs:
+                # Exactly-one winner mask (slots are unique); on miss lanes
+                # every accumulator plane is still its zero init, so the
+                # masked sum correctly emits 0 attributes.
+                winner = (acc_t == tmin) & (acc_s == smin)
+                for k in range(n_attrs):
+                    a_ref[k:k + 1, lo:lo + rt] = jnp.sum(
+                        jnp.where(winner, acc[2 + k], 0.0),
+                        axis=0, keepdims=True,
+                    )
         else:
             # Occlusion: min-accumulate t (misses are +inf, and the t_max
             # cut is already applied inside the intersector) — an f32
@@ -466,27 +515,21 @@ def _pad_rays_soa(rays8):
 # and launches cost ~0.2 ms each — so the budget is set near the ceiling.
 _SMEM_IDS_BUDGET_BYTES = 640 * 1024
 
-# Visit lists wider than this are sliced to keep the SMEM footprint — and
-# therefore the launch count — independent of C. Correctness is preserved
-# for any count: the kernel detects cnt > width and falls back to scanning
-# ALL clusters for that tile (see _walk_kernel). On the coherent teapot
-# frame the max count is 55 (cluster_size 16, 1024-ray tiles), so the
-# fallback only triggers for incoherent batches that culling cannot help.
-_MAX_VISITS = 128
-
-
-def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret):
+def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0):
     """Launch the walk kernel, chunking ray tiles so the SMEM-resident
     visit lists stay inside budget at any ray count.
-    Returns (t, i) as [1, n_tiles*RAY_TILE] rows. cnt is passed through
-    UNclamped — the kernel's overflow fallback needs the true count."""
+    `blocks` is a tuple of whole-array kernel inputs (triangle blocks,
+    optionally attribute blocks). Returns (t, i[, attrs]) as
+    [rows, n_tiles*RAY_TILE] arrays. cnt is passed through UNclamped —
+    the kernel's overflow fallback needs the true count."""
     if ids.shape[1] > _MAX_VISITS:
         ids = ids[:, :_MAX_VISITS]
     n_tiles, c = ids.shape
     max_tiles = max(SUBTILES,
                     _SMEM_IDS_BUDGET_BYTES // (4 * c) // SUBTILES * SUBTILES)
     if n_tiles <= max_tiles:
-        return _launch_single(kernel, cnt, ids, rays8, blocks, interpret)
+        return _launch_single(kernel, cnt, ids, rays8, blocks, interpret,
+                              n_attrs)
     pad_t = (-n_tiles) % max_tiles
     if pad_t:
         cnt = jnp.concatenate([cnt, jnp.zeros(pad_t, cnt.dtype)])
@@ -496,8 +539,9 @@ def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret):
             [rays8, jnp.broadcast_to(col, (8, pad_t * RAY_TILE))], axis=1
         )
     k = (n_tiles + pad_t) // max_tiles
-    t_out, i_out = jax.lax.map(
-        lambda args: _launch_single(kernel, *args, blocks, interpret),
+    outs = jax.lax.map(
+        lambda args: _launch_single(kernel, *args, blocks, interpret,
+                                    n_attrs),
         (
             cnt.reshape(k, max_tiles),
             ids.reshape(k, max_tiles, c),
@@ -505,36 +549,39 @@ def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret):
         ),
     )
     rp = n_tiles * RAY_TILE
-    return (t_out.swapaxes(0, 1).reshape(1, -1)[:, :rp],
-            i_out.swapaxes(0, 1).reshape(1, -1)[:, :rp])
+    return tuple(
+        o.swapaxes(0, 1).reshape(o.shape[1], -1)[:, :rp] for o in outs
+    )
 
 
-def _launch_single(kernel, cnt, ids, rays8, blocks, interpret):
+def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0):
     rp = rays8.shape[1]
     step = RAY_TILE * SUBTILES
     n_steps = rp // step
-    blk_shape = blocks.shape
+    out_rows = [1, 1] + ([n_attrs] if n_attrs else [])
+    out_dtypes = [jnp.float32, jnp.int32] + ([jnp.float32] if n_attrs else [])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((8, step), lambda i, *_: (0, i)),
-            pl.BlockSpec(blk_shape, lambda i, *_: (0,) * len(blk_shape)),
+        in_specs=[pl.BlockSpec((8, step), lambda i, *_: (0, i))] + [
+            pl.BlockSpec(b.shape, lambda i, *_, nd=b.ndim: (0,) * nd)
+            for b in blocks
         ],
         out_specs=[
-            pl.BlockSpec((1, step), lambda i, *_: (0, i)) for _ in range(2)
+            pl.BlockSpec((rows, step), lambda i, *_: (0, i))
+            for rows in out_rows
         ],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((1, rp), jnp.float32),
-        jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        jax.ShapeDtypeStruct((rows, rp), dt)
+        for rows, dt in zip(out_rows, out_dtypes)
     ]
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(cnt, ids, rays8, blocks)
+    )(cnt, ids, rays8, *blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -572,6 +619,39 @@ def _lazy_t_bwd(res, g):
 _lazy_t.defvjp(_lazy_t_fwd, _lazy_t_bwd)
 
 
+@jax.custom_vjp
+def _lazy_attrs(normals, colors, materials, order, obj_id, slot, hit,
+                attrs_k):
+    """Forward = the kernel-accumulated attribute rows (zero extra cost);
+    backward = vjp of the equivalent table gathers, so gradients reach the
+    live normals/colors/materials tables without the forward pass ever
+    paying the serial per-ray gather."""
+    return attrs_k
+
+
+def _lazy_attrs_fwd(normals, colors, materials, order, obj_id, slot, hit,
+                    attrs_k):
+    return attrs_k, (normals, colors, materials, order, obj_id, slot, hit)
+
+
+def _lazy_attrs_bwd(res, g):
+    normals, colors, materials, order, obj_id, slot, hit = res
+
+    def attrs_of(normals_, colors_, materials_):
+        idv = order[jnp.where(hit, slot, 0)]
+        rows = jnp.concatenate(
+            [normals_[idv], colors_[idv], materials_[obj_id[idv]]], axis=1
+        )
+        return jnp.where(hit[:, None], rows, 0.0)
+
+    _, vjp = jax.vjp(attrs_of, normals, colors, materials)
+    dn, dc, dm = vjp(jnp.where(hit[:, None], g, 0.0))
+    return dn, dc, dm, None, None, None, None, None
+
+
+_lazy_attrs.defvjp(_lazy_attrs_fwd, _lazy_attrs_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
@@ -600,14 +680,49 @@ def nearest_hit_soa(
         _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
         variant=variant, nearest=True, t_max=float("inf"),
     )
-    t_k, slot = _launch_walk(kern, cnt, ids, rp, blocks, interpret)
+    t_k, slot = _launch_walk(kern, cnt, ids, rp, (blocks,), interpret)
     t_k = t_k[0, :r]
     slot = slot[0, :r]
     # The kernel emits packed slot ids (cluster * CS + sublane); resolve to
     # original triangle ids with one gather, 0 on miss (Hit contract).
+    # NOTE this gather is EXPENSIVE on TPU (~19.5 ms at 2.56 M rays); hot
+    # paths that only need shading data should use nearest_hit_attrs_soa,
+    # which never leaves packed-slot space.
     hit = jnp.isfinite(t_k)
     tri_id = jnp.where(hit, accel.order[jnp.where(hit, slot, 0)], 0)
     return t_k, tri_id
+
+
+def nearest_hit_attrs_soa(
+    accel: ClusterAccel,
+    rays8: jnp.ndarray,
+    eps: float = 1e-8,
+    interpret: bool | None = None,
+    variant: str = DEFAULT_VARIANT,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Nearest hit over the SoA ray pack, with the winning triangle's
+    shading attributes accumulated IN the kernel (see _walk_kernel). Returns
+    (t [N], slot [N] packed slot ids, attrs [A, N]) — attrs rows are
+    normal(3) | color(3) | albedo/pi, reflectivity, roughness, all 0 on
+    miss lanes. No per-ray gather anywhere on this path."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    rays8 = jax.lax.stop_gradient(rays8)
+    rp, r = _pad_rays_soa(rays8)
+    ids, tnear, cnt = _tile_visit_lists_soa(rp, accel.cluster_min,
+                                            accel.cluster_max, RAY_TILE)
+    blocks = {"woop": accel.woop_blocks,
+              "pmt": accel.pmt_blocks}.get(variant, accel.tri_blocks)
+    n_attrs = accel.attr_blocks.shape[1]
+    kern = functools.partial(
+        _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
+        variant=variant, nearest=True, t_max=float("inf"), n_attrs=n_attrs,
+    )
+    t_k, slot, attrs = _launch_walk(
+        kern, cnt, ids, rp, (blocks, accel.attr_blocks), interpret,
+        n_attrs=n_attrs,
+    )
+    return t_k[0, :r], slot[0, :r], attrs[:, :r]
 
 
 def any_hit_soa(
@@ -631,7 +746,7 @@ def any_hit_soa(
         _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
         variant=variant, nearest=False, t_max=t_max,
     )
-    _, occ = _launch_walk(kern, cnt, ids, rp, blocks, interpret)
+    _, occ = _launch_walk(kern, cnt, ids, rp, (blocks,), interpret)
     return occ[0, :r] != 0
 
 
@@ -655,6 +770,54 @@ def nearest_hit_pallas(
     tv_packed = sg(mesh.tri_v)
     t = _lazy_t(mesh.verts, o, d, tv_packed, tri_id, hit, t_k)
     return Hit(t=t, tri=tri_id, hit=hit)
+
+
+def nearest_hit_shaded(
+    mesh: Mesh,
+    accel: ClusterAccel,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    eps: float = 1e-8,
+    interpret: bool | None = None,
+    variant: str = DEFAULT_VARIANT,
+    alive: jnp.ndarray | None = None,
+) -> Tuple[Hit, jnp.ndarray]:
+    """The renderer's gather-free fast path: nearest hit + the winning
+    triangle's shading attributes straight out of the kernel. Returns
+    (Hit, attrs [N, 9]) where attrs columns are normal(3) | color(3) |
+    albedo/pi, reflectivity, roughness (0 on miss lanes).
+
+    CONTRACT DIFFERENCE vs nearest_hit_pallas: Hit.tri holds PACKED SLOT
+    ids, not original triangle ids — resolving originals costs a serial
+    per-ray gather (~19.5 ms / 2.56 M rays) that this path exists to avoid.
+    Both t and attrs are differentiable via lazy re-derivation backward
+    (_lazy_t over the packed triangle table, _lazy_attrs over the live
+    normal/color/material tables)."""
+    sg = jax.lax.stop_gradient
+    rays8 = rays_to_soa(sg(o), sg(d), alive=alive)
+    t_k, slot, attrs_k = nearest_hit_attrs_soa(accel, rays8, eps, interpret,
+                                               variant)
+    hit = jnp.isfinite(t_k)
+    slot_safe = jnp.where(hit, slot, 0)
+    if accel.attr_tables is not None:
+        # objid mode: kernel planes are normal(3) | obj_id. Reconstruct
+        # color+material EXACTLY with a select chain over the (static,
+        # small) object count — elementwise ops, no gather. Miss lanes
+        # (obj_id plane 0) resolve to object 0's row, matching what the
+        # full mode's gather-equivalent produces for its tri-id-0 default.
+        obj = attrs_k[3].astype(jnp.int32)  # [N]
+        tbl = accel.attr_tables  # [O, 6]
+        rest = jnp.zeros((6, obj.shape[0]), dtype=attrs_k.dtype)
+        for k in range(tbl.shape[0]):
+            rest = jnp.where(obj[None, :] == k, tbl[k][:, None], rest)
+        attrs_k = jnp.concatenate([attrs_k[:3], rest], axis=0)
+    # Packed triangle table: an S-sized (scene-sized, not ray-sized) gather.
+    tv_packed = sg(mesh.tri_v)[sg(accel.order)]
+    t = _lazy_t(mesh.verts, o, d, tv_packed, slot_safe, hit, t_k)
+    attrs = _lazy_attrs(mesh.normals, mesh.colors, mesh.materials,
+                        accel.order, sg(mesh.obj_id), slot_safe, hit,
+                        attrs_k.T)
+    return Hit(t=t, tri=slot_safe, hit=hit), attrs
 
 
 def any_hit_pallas(

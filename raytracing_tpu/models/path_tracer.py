@@ -38,7 +38,7 @@ from raytracing_tpu.models.whitted import shade
 from raytracing_tpu.ops.color import gamma_correct
 from raytracing_tpu.ops.intersect import reflect
 from raytracing_tpu.ops.sampling import cosine_hemisphere
-from raytracing_tpu.tracer import nearest_hit
+from raytracing_tpu.tracer import nearest_hit_shaded
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,8 +68,8 @@ def trace_paths(
     alive = jnp.ones(r, dtype=bool)
 
     for bounce in range(pt.max_bounces):
-        h = nearest_hit(mesh, accel, o, d, config)
-        sh = shade(mesh, accel, sun, o, d, h, config)
+        h, attrs = nearest_hit_shaded(mesh, accel, o, d, config, alive=alive)
+        sh = shade(mesh, accel, sun, o, d, h, config, attrs=attrs)
         hit = h.hit & alive
         # Miss -> sky, path ends.
         radiance = radiance + jnp.where(

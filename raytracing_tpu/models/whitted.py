@@ -46,7 +46,7 @@ from raytracing_tpu.ops.linalg import dot, normalize
 from raytracing_tpu.ops.sampling import cosine_hemisphere
 from raytracing_tpu.kernels.binning import ray_bin_order, scene_bounds
 from raytracing_tpu.ops.trace import Hit
-from raytracing_tpu.tracer import any_hit, nearest_hit
+from raytracing_tpu.tracer import any_hit, nearest_hit, nearest_hit_shaded
 
 
 def _attribute_rows(mesh: Mesh) -> jnp.ndarray:
@@ -77,20 +77,28 @@ def shade(
     d: jnp.ndarray,
     hit: Hit,
     config: RenderConfig,
+    attrs: Optional[jnp.ndarray] = None,
 ) -> Shaded:
     """Direct lighting at hit points, incl. the shadow (any-hit) query —
-    the reference's main.rs:176-241 in batch form."""
+    the reference's main.rs:176-241 in batch form.
+
+    attrs: optional [N, 9] kernel-accumulated attribute rows (pallas fast
+    path, see tracer.nearest_hit_shaded) — when given, NO per-ray gather
+    happens here. When absent, one fused row gather fetches all 9
+    per-triangle attributes (separate normals/colors/materials gathers
+    each cost a full serial gather pass on TPU)."""
     # Miss lanes carry tri id 0 / t=1.0: harmless garbage killed by masks.
     t_safe = jnp.where(hit.hit, hit.t, 1.0)
     idx = hit.tri
-    # ONE row gather fetches all 9 per-triangle attributes: separate
-    # normals/colors/materials gathers each cost a full gather pass on TPU
-    # (~0.5 ms per call at 65k rays); a fused [T, 9] row table amortizes
-    # them. Geometric normals still need the vertex gathers (they depend
-    # on live verts for autodiff).
-    attrs = jnp.take(_attribute_rows(mesh), idx, axis=0)  # [N, 9]
+    idx_is_slot = attrs is not None  # kernel attrs => idx is a packed slot
+    if attrs is None:
+        attrs = jnp.take(_attribute_rows(mesh), idx, axis=0)  # [N, 9]
     if config.normals == "geometric":
-        tv = mesh.tri_v[idx]
+        # Geometric normals need the vertex gathers regardless (they depend
+        # on live verts for autodiff). With kernel attrs (pallas fast
+        # path), idx is a packed slot — resolve through accel.order first.
+        tri_ids = accel.order[idx] if idx_is_slot else idx
+        tv = mesh.tri_v[tri_ids]
         n = triangle_normal(
             mesh.verts[tv[:, 0]], mesh.verts[tv[:, 1]], mesh.verts[tv[:, 2]]
         )
@@ -154,14 +162,17 @@ def render_rays(
             # per-ray outputs back to parent order for the radiance sweep.
             lo_, hi_ = scene_bounds(accel)
             order, inv = ray_bin_order(o_l, d_l, lo_, hi_, alive_l)
-            h = nearest_hit(mesh, accel, o_l[order], d_l[order], config,
-                            alive=alive_l[order])
-            sh = shade(mesh, accel, sun, o_l[order], d_l[order], h, config)
+            h, attrs = nearest_hit_shaded(mesh, accel, o_l[order],
+                                          d_l[order], config,
+                                          alive=alive_l[order])
+            sh = shade(mesh, accel, sun, o_l[order], d_l[order], h, config,
+                       attrs=attrs)
             h = Hit(t=h.t[inv], tri=h.tri[inv], hit=h.hit[inv])
             sh = Shaded(*(x[inv] for x in sh))
         else:
-            h = nearest_hit(mesh, accel, o_l, d_l, config, alive=alive_l)
-            sh = shade(mesh, accel, sun, o_l, d_l, h, config)
+            h, attrs = nearest_hit_shaded(mesh, accel, o_l, d_l, config,
+                                          alive=alive_l)
+            sh = shade(mesh, accel, sun, o_l, d_l, h, config, attrs=attrs)
         has_r = depth < config.reflect_depth
         has_d = depth < config.diffuse_depth
         info = {"hit": h.hit, "direct": sh.direct, "has_r": has_r,
