@@ -54,6 +54,10 @@ class RenderConfig:
     # mesh (reference behaviour, `objects.rs:206-220`) or recomputed
     # differentiably from vertices ("geometric") so gradients flow to verts.
     normals: str = "stored"
+    # Re-sort secondary (shadow/bounce) rays by (origin cell, direction
+    # cone) before tracing so culling tiles stay coherent (pallas backend
+    # only). Order-invisible semantically; a pure performance knob.
+    bin_secondary: bool = True
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -85,3 +85,23 @@ def teapot_only_mesh(offset=(0.0, 0.0, 3.0), color=(0.8, 0.8, 0.8),
     obj_path = obj_path or TEAPOT_OBJ
     return concat_objects([read_obj(obj_path, offset=offset, color=color,
                                     material=material)])
+
+
+def subdivided_teapot_mesh(levels: int = 3, offset=(0.0, 0.0, 3.0),
+                           color=(0.8, 0.8, 0.8), material=(1.0, 0.0, 1.0),
+                           obj_path: Optional[str] = None) -> Mesh:
+    """Midpoint-subdivided teapot for large-scene stress (BASELINE config 4:
+    "~1M-triangle mesh (subdivided teapot)"): 6,320 * 4^levels triangles on
+    the EXACT same surface (levels=3 -> 404k, levels=4 -> 1.6M). Renders
+    must match the unsubdivided teapot (tests/test_geometry.py)."""
+    from raytracing_tpu.geometry.subdivide import subdivide_arrays
+
+    obj_path = obj_path or TEAPOT_OBJ
+    ob = read_obj(obj_path, offset=offset, color=color, material=material)
+    verts, tri_v = subdivide_arrays(ob["verts"], ob["tri_v"], levels)
+    return concat_objects([{
+        "verts": verts,
+        "tri_v": tri_v,
+        "colors": np.asarray(color, dtype=np.float32),
+        "material": material,
+    }])

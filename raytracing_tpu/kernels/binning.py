@@ -77,14 +77,60 @@ def ray_bin_order(
     dead rays compacted to the END (their tiles then cull to nothing).
 
     Returns (order, inv): trace x[order], read results back through inv.
+    NOTE: prefer `bin_sort`/`unsort` — moving data through explicit
+    gathers costs a serial pass per array on TPU; a variadic lax.sort
+    moves every payload in one vectorized op.
     """
-    key = (morton3(o, lo, hi) << DIR_BITS) | direction_bin(d)
-    if alive is not None:
-        # Dead lanes sort after every live key.
-        key = jnp.where(alive, key, jnp.int32(1) << 30)
+    key = bin_key(o, d, lo, hi, alive)
     order = jnp.argsort(key).astype(jnp.int32)
     inv = jnp.argsort(order).astype(jnp.int32)
     return order, inv
+
+
+def bin_key(o, d, lo, hi, alive=None) -> jnp.ndarray:
+    """(origin Morton cell << DIR_BITS) | direction cone; dead lanes get a
+    key above every live key so they compact to the end."""
+    key = (morton3(o, lo, hi) << DIR_BITS) | direction_bin(d)
+    if alive is not None:
+        key = jnp.where(alive, key, jnp.int32(1) << 30)
+    return key
+
+
+def bin_sort(key: jnp.ndarray, *payloads):
+    """Sort payloads by bin key with ONE variadic lax.sort (all payloads
+    move in the same vectorized sorting network — no per-array serial
+    gather). Returns (sidx, sorted_payloads): `sidx` is each sorted slot's
+    ORIGINAL index; pass it to `unsort` to restore original order.
+    Payloads of any dtype; [N, k] arrays are split into columns."""
+    n = key.shape[0]
+    flat, specs = [], []
+    for p in payloads:
+        if p.ndim == 1:
+            flat.append(p)
+            specs.append(None)
+        else:
+            cols = [p[:, j] for j in range(p.shape[1])]
+            flat.extend(cols)
+            specs.append(p.shape[1])
+    iota = jnp.arange(n, dtype=jnp.int32)
+    out = jax.lax.sort((key, iota) + tuple(flat), num_keys=1)
+    sidx = out[1]
+    rebuilt, k = [], 2
+    for p, spec in zip(payloads, specs):
+        if spec is None:
+            rebuilt.append(out[k])
+            k += 1
+        else:
+            rebuilt.append(jnp.stack(out[k:k + spec], axis=1))
+            k += spec
+    return sidx, tuple(rebuilt)
+
+
+def unsort(sidx: jnp.ndarray, *payloads):
+    """Restore original order: sort payloads by the original indices that
+    `bin_sort` returned. Same one-variadic-sort trick."""
+    _, rebuilt = bin_sort(sidx, *payloads)
+    return rebuilt
 
 
 def scene_bounds(accel) -> Tuple[jnp.ndarray, jnp.ndarray]:

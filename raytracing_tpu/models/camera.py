@@ -41,6 +41,93 @@ def camera_rays(config: RenderConfig, dtype=jnp.float32) -> Tuple[jnp.ndarray, j
     return o, d
 
 
+def camera_rays_for_ids(
+    ids: jnp.ndarray, config: RenderConfig, dtype=jnp.float32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Primary rays for FLAT RAY IDS (the [spp, H, W] flatten order) —
+    bitwise-identical values to `camera_rays(...).reshape(-1, 3)[ids]`.
+
+    This exists so a render chunk can be generated ENTIRELY on device from
+    a scalar chunk index: per-chunk host->device uploads of ray buffers are
+    a measured dispatch-queue poison on the tunneled TPU runtime (sustained
+    frames degrade ~50x once ~64 distinct argument buffers have been sent),
+    while scalar args + captured constants sustain full speed.
+    """
+    import numpy as np
+
+    w, h, spp = config.width, config.height, config.samples_per_pixel
+    aspect = float(w) / float(h)
+    s = ids // (h * w)
+    rem = ids % (h * w)
+    y = (rem // w).astype(dtype)
+    x = (rem % w).astype(dtype)
+    # Select chain over the (static, tiny) spp offset table — a per-ray
+    # gather here would serialize on TPU. Offsets computed host-side in
+    # f32 so values match stratified_offsets exactly.
+    g = int(round(spp ** 0.5))
+    if g * g != spp:
+        raise ValueError("spp must be square")
+    c = ((np.arange(g, dtype=np.float32) + np.float32(0.5))
+         / np.float32(g))
+    gx, gy = np.meshgrid(c, c, indexing="ij")
+    offs_np = list(zip(gx.ravel().tolist(), gy.ravel().tolist()))
+    ox = jnp.full_like(x, offs_np[0][0])
+    oy = jnp.full_like(y, offs_np[0][1])
+    for k in range(1, spp):
+        ox = jnp.where(s == k, offs_np[k][0], ox)
+        oy = jnp.where(s == k, offs_np[k][1], oy)
+    xx = (2.0 * (x + ox) / w - 1.0) * aspect * config.scale
+    yy = (1.0 - 2.0 * (y + oy) / h) * config.scale
+    d = jnp.stack([xx, yy, jnp.ones_like(xx)], axis=-1)
+    return jnp.zeros_like(d), d
+
+
+def block_ray_ids(
+    i, chunk: int, config: RenderConfig, block_h: int = 16, block_w: int = 16
+) -> jnp.ndarray:
+    """Flat ray ids of chunk `i` of the block permutation, BY FORMULA —
+    exactly `block_permutation(spp, h, w, bh, bw)[0][i*chunk:(i+1)*chunk]`
+    when bh | H and bw | W (asserted by the caller).
+
+    Why a formula and not the table: a captured [spp*H*W] permutation
+    constant is ~10 MB, and executables whose captured constants exceed
+    the runtime's staging cache get them re-sent per call (~170 ms/chunk
+    measured, 50x the chunk's compute). Index arithmetic costs nothing
+    and keeps the chunk program's footprint at the few-MB scene tables.
+    Ids past the frame end clamp to the last ray (padding tail; callers
+    drop those rows)."""
+    spp, h, w = config.samples_per_pixel, config.height, config.width
+    run = spp * block_h * block_w
+    nbx = w // block_w
+    idx = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
+    idx = jnp.minimum(idx, spp * h * w - 1)
+    b = idx // run
+    r = idx % run
+    s = r // (block_h * block_w)
+    p = r % (block_h * block_w)
+    by = p // block_w
+    bx = p % block_w
+    br = b // nbx
+    bc = b % nbx
+    y = br * block_h + by
+    x = bc * block_w + bx
+    return (s * h + y) * w + x
+
+
+def blocks_to_image(packed: jnp.ndarray, config: RenderConfig,
+                    block_h: int = 16, block_w: int = 16) -> jnp.ndarray:
+    """Invert the block permutation and average spp — via reshape/transpose
+    ONLY (no gather): packed [spp*H*W, C] in block order -> [H, W, C] mean
+    over samples. Requires bh | H and bw | W. Per-sample values (e.g.
+    gamma) must already be applied — this just averages."""
+    spp, h, w = config.samples_per_pixel, config.height, config.width
+    c = packed.shape[-1]
+    nby, nbx = h // block_h, w // block_w
+    x = packed.reshape(nby, nbx, spp, block_h, block_w, c).mean(axis=2)
+    x = x.transpose(0, 2, 1, 3, 4)  # [nby, bh, nbx, bw, c]
+    return x.reshape(h, w, c)
+
+
 def block_permutation(
     spp: int, h: int, w: int, block_h: int = 8, block_w: int = 8
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -24,7 +24,6 @@ integrators agree in expectation on shared light paths:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
@@ -33,8 +32,8 @@ import jax.numpy as jnp
 from raytracing_tpu.accel.packets import ClusterAccel
 from raytracing_tpu.config import RenderConfig
 from raytracing_tpu.geometry.mesh import Mesh, Scene
-from raytracing_tpu.models.camera import camera_rays
-from raytracing_tpu.models.whitted import shade
+from raytracing_tpu.models.camera import camera_rays_for_ids
+from raytracing_tpu.models.whitted import _cached_body, _dispatch_chunks, shade
 from raytracing_tpu.ops.color import gamma_correct
 from raytracing_tpu.ops.intersect import reflect
 from raytracing_tpu.ops.sampling import cosine_hemisphere
@@ -134,31 +133,37 @@ def render(
     if key is None:
         key = jax.random.PRNGKey(0)
     cam_cfg = config.replace(samples_per_pixel=1)
-    o, d = camera_rays(cam_cfg)
-    h, w = o.shape[1:3]
-    o = o.reshape(-1, 3)
-    d = d.reshape(-1, 3)
-    r = o.shape[0]
+    h, w = config.height, config.width
+    r = h * w
     chunk = min(config.chunk_size, r)
-    pad = (-r) % chunk
-    if pad:
-        o = jnp.concatenate([o, o[:pad]])
-        d = jnp.concatenate([d, d[:pad]])
-    nc = o.shape[0] // chunk
+    nc = (r + chunk - 1) // chunk
 
-    def sample(carry, key_s):
-        acc = carry
-        rgb = jax.lax.map(
-            lambda args: trace_paths(scene.mesh, accel, scene.sun, args[0],
-                                     args[1], args[2], config, pt),
-            (o.reshape(nc, chunk, 3), d.reshape(nc, chunk, 3),
-             jax.random.split(key_s, nc)),
-        ).reshape(-1, 3)
-        return acc + rgb, None
+    # One program per chunk, parameterized only by (chunk index, key):
+    # rays are generated on device and the spp loop is a device-side scan
+    # INSIDE the program; chunks are dispatched in bounded host bursts
+    # (see whitted.CHUNK_BURST for the measured dispatch rationale). The
+    # compiled body is cached across render() calls (whitted._cached_body).
+    def make():
+        def chunk_mean(i, key):
+            ids = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            ids = jnp.minimum(ids, r - 1)  # pad tail repeats the last pixel
+            o_c, d_c = camera_rays_for_ids(ids, cam_cfg)
 
-    acc, _ = jax.lax.scan(
-        sample, jnp.zeros((o.shape[0], 3), dtype=o.dtype),
-        jax.random.split(key, pt.samples_per_pixel),
-    )
-    mean = acc[:r] / pt.samples_per_pixel
+            def sample(acc, key_s):
+                rgb = trace_paths(scene.mesh, accel, scene.sun, o_c, d_c,
+                                  key_s, config, pt)
+                return acc + rgb, None
+
+            acc, _ = jax.lax.scan(
+                sample, jnp.zeros((chunk, 3), dtype=jnp.float32),
+                jax.random.split(key, pt.samples_per_pixel),
+            )
+            return acc / pt.samples_per_pixel
+        return chunk_mean
+
+    ckey = (id(scene.mesh), id(accel), id(scene.sun), config, pt, chunk,
+            "pt")
+    body = _cached_body(ckey, make, (scene, accel))
+    keys = jax.random.split(key, nc)
+    mean = _dispatch_chunks(body, keys, nc, chunk)[:r]
     return gamma_correct(mean.reshape(h, w, 3), config.gamma)

@@ -39,14 +39,13 @@ import jax.numpy as jnp
 from raytracing_tpu.accel.packets import ClusterAccel
 from raytracing_tpu.config import RenderConfig
 from raytracing_tpu.geometry.mesh import Mesh, Scene
-from raytracing_tpu.models.camera import camera_rays
 from raytracing_tpu.ops.color import gamma_correct
 from raytracing_tpu.ops.intersect import reflect, triangle_normal
 from raytracing_tpu.ops.linalg import dot, normalize
 from raytracing_tpu.ops.sampling import cosine_hemisphere
-from raytracing_tpu.kernels.binning import ray_bin_order, scene_bounds
+from raytracing_tpu.kernels.binning import bin_key, bin_sort, scene_bounds, unsort
 from raytracing_tpu.ops.trace import Hit
-from raytracing_tpu.tracer import any_hit, nearest_hit, nearest_hit_shaded
+from raytracing_tpu.tracer import any_hit, nearest_hit_shaded
 
 
 def _attribute_rows(mesh: Mesh) -> jnp.ndarray:
@@ -119,11 +118,12 @@ def shade(
     # surfaces tens of units apart (teapot silhouette + ground behind it),
     # and a mixed tile's frustum covers everything in between.
     sh_alive = hit.hit & facing
-    if config.backend == "pallas" and accel is not None:
+    if config.backend == "pallas" and accel is not None and config.bin_secondary:
         lo, hi = scene_bounds(accel)
-        order, inv = ray_bin_order(pos, sun_dir, lo, hi, sh_alive)
-        occluded = any_hit(mesh, accel, pos[order], sun_dir[order], config,
-                           alive=sh_alive[order])[inv]
+        k = bin_key(pos, sun_dir, lo, hi, sh_alive)
+        sidx, (pos_s, dir_s, alive_s) = bin_sort(k, pos, sun_dir, sh_alive)
+        occ_s = any_hit(mesh, accel, pos_s, dir_s, config, alive=alive_s)
+        (occluded,) = unsort(sidx, occ_s)
     else:
         occluded = any_hit(mesh, accel, pos, sun_dir, config,
                            alive=sh_alive)
@@ -156,19 +156,27 @@ def render_rays(
     alive_l = None  # primary rays are all alive
     for depth in range(1, max_depth + 1):
         n_l = o_l.shape[0]
-        if depth > 1 and config.backend == "pallas" and accel is not None:
+        if (depth > 1 and config.backend == "pallas" and accel is not None
+                and config.bin_secondary):
             # Bounce levels inherit parent order; re-bin by (origin cell,
-            # direction cone) so ray tiles stay cullable, then gather the
+            # direction cone) so ray tiles stay cullable, then move the
             # per-ray outputs back to parent order for the radiance sweep.
+            # Both moves are single variadic payload sorts (bin_sort) —
+            # per-array permutation gathers are serial on TPU and were
+            # ~half the cost of a bounce level.
             lo_, hi_ = scene_bounds(accel)
-            order, inv = ray_bin_order(o_l, d_l, lo_, hi_, alive_l)
-            h, attrs = nearest_hit_shaded(mesh, accel, o_l[order],
-                                          d_l[order], config,
-                                          alive=alive_l[order])
-            sh = shade(mesh, accel, sun, o_l[order], d_l[order], h, config,
-                       attrs=attrs)
-            h = Hit(t=h.t[inv], tri=h.tri[inv], hit=h.hit[inv])
-            sh = Shaded(*(x[inv] for x in sh))
+            k = bin_key(o_l, d_l, lo_, hi_, alive_l)
+            sidx, (o_s, d_s, alive_s) = bin_sort(k, o_l, d_l, alive_l)
+            h, attrs = nearest_hit_shaded(mesh, accel, o_s, d_s, config,
+                                          alive=alive_s)
+            sh = shade(mesh, accel, sun, o_s, d_s, h, config, attrs=attrs)
+            hit_u, direct_u, n_u, pos_u, color_u, refl_u, rough_u = unsort(
+                sidx, h.hit, sh.direct, sh.n, sh.pos, sh.color, sh.refl,
+                sh.rough,
+            )
+            h = Hit(t=h.t, tri=h.tri, hit=hit_u)  # t/tri unused downstream
+            sh = Shaded(direct=direct_u, n=n_u, pos=pos_u, color=color_u,
+                        refl=refl_u, rough=rough_u)
         else:
             h, attrs = nearest_hit_shaded(mesh, accel, o_l, d_l, config,
                                           alive=alive_l)
@@ -222,11 +230,59 @@ def render_rays(
     return gamma_correct(rad, config.gamma)
 
 
-def _pad_to_multiple(x: jnp.ndarray, m: int) -> jnp.ndarray:
-    pad = (-x.shape[0]) % m
-    if pad:
-        x = jnp.concatenate([x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])])
-    return x
+# Chunk dispatch window: chunks enqueued per host-side burst before a
+# device sync. Measured on the v5e tunnel: bounded bursts of per-chunk
+# programs whose only per-call arguments are SCALARS (chunk index + RNG
+# key) sustain 2-3 ms/chunk across a whole frame, while a single lax.map
+# program over all chunks, an unbounded dispatch queue, or per-chunk ray
+# BUFFER uploads all collapse to 100-200 ms/chunk after ~64 chunks (a
+# runtime dispatch pathology, not compute). Hence the design: ray data for
+# chunk i is derived ON DEVICE from i (camera_rays_for_ids over a captured
+# permutation constant), and 26 chunks are enqueued per burst.
+CHUNK_BURST = 26
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _fold(acc, lo, *chunks):
+    return jax.lax.dynamic_update_slice(acc, jnp.concatenate(chunks, 0),
+                                        (lo, 0))
+
+
+# Compiled chunk-program cache. The chunk body closes over scene/accel
+# arrays (captured constants — the fast-path argument pattern, see
+# CHUNK_BURST) so it cannot be a plain top-level jit; re-jitting a fresh
+# closure every render() call would recompile ~20-30 s per frame. Keyed on
+# the identity of the scene/accel buffers + the static config.
+_BODY_CACHE: dict = {}
+_BODY_CACHE_MAX = 16
+
+
+def _cached_body(cache_key, make, refs):
+    """refs: the objects whose id()s appear in cache_key — stored so a
+    freed object's address can't be recycled while its entry lives."""
+    hit = _BODY_CACHE.get(cache_key)
+    if hit is not None:
+        return hit[0]
+    if len(_BODY_CACHE) >= _BODY_CACHE_MAX:
+        _BODY_CACHE.clear()
+    fn = jax.jit(make())
+    _BODY_CACHE[cache_key] = (fn, refs)
+    return fn
+
+
+def _dispatch_chunks(body, keys, nc, chunk, width=3):
+    """Windowed burst dispatch of per-chunk programs `body(i, key)` (see
+    CHUNK_BURST), folding results into ONE donated device accumulator per
+    burst so the live-buffer set stays bounded (accumulating 150+ unread
+    chunk outputs is another measured dispatch-queue poison)."""
+    acc = jnp.zeros((nc * chunk, width), jnp.float32)
+    for lo in range(0, nc, CHUNK_BURST):
+        hi = min(lo + CHUNK_BURST, nc)
+        burst = [body(i, keys[i]) for i in range(lo, hi)]
+        acc = _fold(acc, lo * chunk, *burst)
+        del burst
+        jax.block_until_ready(acc)
+    return acc
 
 
 def render(
@@ -237,39 +293,69 @@ def render(
 ) -> jnp.ndarray:
     """Render a full frame -> [H, W, 3] float RGB in [0, 1]-ish.
 
-    Primary rays are processed in chunks of config.chunk_size via lax.map so
-    peak memory stays bounded while the whole frame remains one traced
-    computation — the TPU replacement for the reference's rayon scanline
-    fan-out (main.rs:317-319).
+    Primary rays are processed in chunks of config.chunk_size so peak
+    memory stays bounded; each chunk is one device program parameterized
+    only by its chunk index (rays generated on device), dispatched in
+    bounded host-side bursts — the TPU replacement for the reference's
+    rayon scanline fan-out (main.rs:317-319), shaped around the measured
+    dispatch behaviour of the device runtime (see CHUNK_BURST).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    o, d = camera_rays(config)
-    spp, h, w = o.shape[:3]
+    spp, h, w = config.samples_per_pixel, config.height, config.width
     r = spp * h * w
-    o = o.reshape(r, 3)
-    d = d.reshape(r, 3)
     # Pixel-block ray order: the traversal kernel culls per tile of
     # consecutive rays, and a 16x16-pixel block's frustum intersects ~3x
     # fewer clusters than a flat scanline strip. Applied on EVERY backend
     # (it is order-only) so the per-ray RNG assignment — and therefore the
-    # rendered image — is bit-identical across backends.
-    from raytracing_tpu.models.camera import block_permutation
+    # rendered image — is bit-identical across backends. When the frame
+    # divides into whole blocks the permutation and its inverse are pure
+    # index arithmetic (block_ray_ids / blocks_to_image) so the chunk
+    # program captures NO frame-sized constants; odd sizes fall back to
+    # the explicit table.
+    from raytracing_tpu.models.camera import (
+        block_permutation, block_ray_ids, blocks_to_image,
+        camera_rays_for_ids,
+    )
 
-    perm, inv = block_permutation(spp, h, w, 16, 16)
-    o = o[perm]
-    d = d[perm]
+    bh = bw = 16
+    by_formula = (h % bh == 0) and (w % bw == 0)
     chunk = min(config.chunk_size, r)
-    o = _pad_to_multiple(o, chunk)
-    d = _pad_to_multiple(d, chunk)
-    nc = o.shape[0] // chunk
+    nc = (r + chunk - 1) // chunk
     keys = jax.random.split(key, nc)
 
-    body = partial(render_rays, scene.mesh, accel, scene.sun, config=config)
-    rgb = jax.lax.map(
-        lambda args: body(args[0], args[1], key=args[2]),
-        (o.reshape(nc, chunk, 3), d.reshape(nc, chunk, 3), keys),
-    )
-    rgb = rgb.reshape(-1, 3)[inv]
-    # Per-sample gamma already applied (reference order); average the spp.
+    ckey = (id(scene.mesh), id(accel), id(scene.sun), config, chunk,
+            by_formula)
+    refs = (scene, accel)
+
+    if by_formula:
+        def make():
+            def body(i, key_c):
+                ids = block_ray_ids(i, chunk, config, bh, bw)
+                o_c, d_c = camera_rays_for_ids(ids, config)
+                return render_rays(scene.mesh, accel, scene.sun, o_c, d_c,
+                                   key_c, config)
+            return body
+
+        rgb = _dispatch_chunks(_cached_body(ckey, make, refs), keys, nc,
+                               chunk)
+        # Per-sample gamma already applied (reference order); average spp.
+        return blocks_to_image(rgb[:r], config, bh, bw)
+
+    perm, inv = block_permutation(spp, h, w, bh, bw)
+    pad = nc * chunk - r
+    if pad:  # repeat the last ray id; surplus results are dropped below
+        perm = jnp.concatenate([perm, jnp.broadcast_to(perm[-1:], (pad,))])
+
+    def make():
+        def body(i, key_c):
+            ids = jax.lax.dynamic_slice(perm, (i * chunk,), (chunk,))
+            o_c, d_c = camera_rays_for_ids(ids, config)
+            return render_rays(scene.mesh, accel, scene.sun, o_c, d_c,
+                               key_c, config)
+        return body
+
+    rgb = _dispatch_chunks(_cached_body(ckey, make, (refs, perm)), keys,
+                           nc, chunk)
+    rgb = rgb[:r][inv]
     return rgb.reshape(spp, h, w, 3).mean(axis=0)
