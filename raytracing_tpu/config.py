@@ -58,6 +58,10 @@ class RenderConfig:
     # cone) before tracing so culling tiles stay coherent (pallas backend
     # only). Order-invisible semantically; a pure performance knob.
     bin_secondary: bool = True
+    # Visibility samples per spherical area light per shading point (only
+    # used when the scene carries lights; see models/whitted.
+    # area_light_term). More samples -> smoother penumbras.
+    light_samples: int = 4
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -56,13 +56,32 @@ class Mesh(NamedTuple):
         return self.materials.shape[0]
 
 
+class SphereLight(NamedTuple):
+    """Spherical area lights — the realized version of the reference's
+    declared-but-always-empty `Light` struct (objects.rs:13-16,
+    main.rs:462 `lights: Vec::new(), // TODO`). Differentiable pytree:
+    gradients flow to center/radius/emission through the soft-shadow
+    estimator (ops/sampling.sample_cone + models/whitted.area_light_term).
+
+    center:   [L, 3] f32
+    radius:   [L]    f32
+    emission: [L, 3] f32 radiance of the emitting surface
+    """
+
+    center: jnp.ndarray
+    radius: jnp.ndarray
+    emission: jnp.ndarray
+
+
 class Scene(NamedTuple):
     """Mesh + lighting state (the reference's `World`, objects.rs:18-22;
-    its `lights` vec is declared but always empty — main.rs:462 — so the only
-    light is the `sun` point position, animated per frame)."""
+    its `lights` vec is declared but always empty — main.rs:462 — so the
+    only reference light is the `sun` point position, animated per frame.
+    `lights` adds the area lights the reference stubbed out)."""
 
     mesh: Mesh
     sun: jnp.ndarray  # [3] f32
+    lights: Optional[SphereLight] = None
 
 
 def triangle_soa(verts: jnp.ndarray, tri_v: jnp.ndarray) -> TriangleSoA:

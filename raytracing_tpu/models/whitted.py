@@ -66,6 +66,7 @@ class Shaded(NamedTuple):
     color: jnp.ndarray   # [N, 3] triangle base color
     refl: jnp.ndarray    # [N] material reflectivity
     rough: jnp.ndarray   # [N] material roughness (diffuse weight)
+    albedo_pi: jnp.ndarray  # [N] albedo / pi (Lambertian BRDF factor)
 
 
 def shade(
@@ -132,7 +133,73 @@ def shade(
         lit[:, None], color * (ndl * albedo_pi)[:, None], 0.0
     )
     return Shaded(direct=direct, n=n, pos=pos, color=color, refl=refl,
-                  rough=rough)
+                  rough=rough, albedo_pi=albedo_pi)
+
+
+def area_light_term(
+    mesh: Mesh,
+    accel: Optional[ClusterAccel],
+    lights,
+    sh: Shaded,
+    hit_mask: jnp.ndarray,
+    key: jax.Array,
+    config: RenderConfig,
+) -> jnp.ndarray:
+    """Soft-shadowed direct radiance from spherical area lights [N, 3] —
+    the feature the reference stubbed out (`lights: Vec::new(), // TODO`,
+    main.rs:462) plus penumbras it never had (BASELINE config 4).
+
+    Per light: uniform solid-angle cone sampling (ops/sampling.sample_cone)
+    with config.light_samples visibility rays each; the estimator is
+    mean(emission * cos_theta * V) * cone_solid_angle * albedo/pi * color.
+    Visibility uses a nearest-hit compared against the ray-sphere distance
+    to the light surface (per-ray t_max). Differentiable w.r.t. light
+    center/radius/emission and the shading inputs; visibility stays
+    detached like every traversal decision."""
+    from raytracing_tpu.ops.intersect import ray_sphere
+    from raytracing_tpu.ops.sampling import sample_cone
+    from raytracing_tpu.tracer import nearest_hit as _nearest
+
+    pos, n = sh.pos, sh.n
+    total = jnp.zeros_like(pos)
+    n_lights = lights.center.shape[0]
+    for li in range(n_lights):
+        c = lights.center[li]
+        rad = lights.radius[li]
+        em = lights.emission[li]
+        to_c = c - pos
+        dist = jnp.sqrt(jnp.sum(to_c * to_c, axis=-1))
+        axis = to_c / jnp.maximum(dist, 1e-20)[:, None]
+        sin_max = jnp.clip(rad / jnp.maximum(dist, 1e-20), 0.0, 1.0)
+        cos_max = jnp.sqrt(jnp.maximum(1.0 - sin_max * sin_max, 0.0))
+        omega = 2.0 * jnp.pi * (1.0 - cos_max)  # subtended solid angle
+        acc = jnp.zeros_like(pos[:, 0])
+        for s in range(config.light_samples):
+            kd = jax.random.fold_in(key, li * 131 + s)
+            w_dir = sample_cone(kd, axis, cos_max)
+            ndl = dot(n, w_dir)
+            alive = hit_mask & (ndl > 0.0)
+            # Distance to the light surface along the sample direction —
+            # the per-ray shadow t_max.
+            t_light, l_hit = ray_sphere(pos, w_dir, c, rad, jnp.inf)
+            t_light = jnp.where(l_hit, t_light, jnp.inf)
+            if (config.backend == "pallas" and accel is not None
+                    and config.bin_secondary):
+                lo_, hi_ = scene_bounds(accel)
+                k2 = bin_key(pos, w_dir, lo_, hi_, alive)
+                sidx, (p_s, w_s, a_s, tl_s) = bin_sort(k2, pos, w_dir,
+                                                       alive, t_light)
+                hb = _nearest(mesh, accel, p_s, w_s, config, alive=a_s)
+                occ_s = hb.hit & (hb.t < tl_s * (1.0 - 1e-4))
+                (occluded,) = unsort(sidx, occ_s)
+            else:
+                hb = _nearest(mesh, accel, pos, w_dir, config, alive=alive)
+                occluded = hb.hit & (hb.t < t_light * (1.0 - 1e-4))
+            vis = alive & ~occluded
+            acc = acc + jnp.where(vis, jnp.maximum(ndl, 0.0), 0.0)
+        radiance = (acc / config.light_samples * omega)[:, None] * em[None, :]
+        total = total + radiance
+    return total * sh.albedo_pi[:, None] * sh.color
 
 
 def render_rays(
@@ -143,6 +210,7 @@ def render_rays(
     d: jnp.ndarray,
     key: jax.Array,
     config: RenderConfig,
+    lights=None,
 ) -> jnp.ndarray:
     """Radiance for a batch of primary rays [R, 3] -> gamma-corrected RGB
     [R, 3]. The full ray tree is unrolled into max_depth wavefront levels."""
@@ -170,20 +238,27 @@ def render_rays(
             h, attrs = nearest_hit_shaded(mesh, accel, o_s, d_s, config,
                                           alive=alive_s)
             sh = shade(mesh, accel, sun, o_s, d_s, h, config, attrs=attrs)
-            hit_u, direct_u, n_u, pos_u, color_u, refl_u, rough_u = unsort(
+            (hit_u, direct_u, n_u, pos_u, color_u, refl_u, rough_u,
+             alb_u) = unsort(
                 sidx, h.hit, sh.direct, sh.n, sh.pos, sh.color, sh.refl,
-                sh.rough,
+                sh.rough, sh.albedo_pi,
             )
             h = Hit(t=h.t, tri=h.tri, hit=hit_u)  # t/tri unused downstream
             sh = Shaded(direct=direct_u, n=n_u, pos=pos_u, color=color_u,
-                        refl=refl_u, rough=rough_u)
+                        refl=refl_u, rough=rough_u, albedo_pi=alb_u)
         else:
             h, attrs = nearest_hit_shaded(mesh, accel, o_l, d_l, config,
                                           alive=alive_l)
             sh = shade(mesh, accel, sun, o_l, d_l, h, config, attrs=attrs)
+        direct = sh.direct
+        if lights is not None:
+            kl = jax.random.fold_in(key, 7777 + depth)
+            area = area_light_term(mesh, accel, lights, sh, h.hit, kl,
+                                   config)
+            direct = direct + jnp.where(h.hit[:, None], area, 0.0)
         has_r = depth < config.reflect_depth
         has_d = depth < config.diffuse_depth
-        info = {"hit": h.hit, "direct": sh.direct, "has_r": has_r,
+        info = {"hit": h.hit, "direct": direct, "has_r": has_r,
                 "has_d": has_d, "n_rays": n_l}
         if has_r or has_d:
             parts_o, parts_d, parts_a = [], [], []
@@ -324,8 +399,9 @@ def render(
     nc = (r + chunk - 1) // chunk
     keys = jax.random.split(key, nc)
 
-    ckey = (id(scene.mesh), id(accel), id(scene.sun), config, chunk,
-            by_formula)
+    lights = getattr(scene, "lights", None)
+    ckey = (id(scene.mesh), id(accel), id(scene.sun), id(lights), config,
+            chunk, by_formula)
     refs = (scene, accel)
 
     if by_formula:
@@ -334,7 +410,7 @@ def render(
                 ids = block_ray_ids(i, chunk, config, bh, bw)
                 o_c, d_c = camera_rays_for_ids(ids, config)
                 return render_rays(scene.mesh, accel, scene.sun, o_c, d_c,
-                                   key_c, config)
+                                   key_c, config, lights=lights)
             return body
 
         rgb = _dispatch_chunks(_cached_body(ckey, make, refs), keys, nc,
@@ -352,7 +428,7 @@ def render(
             ids = jax.lax.dynamic_slice(perm, (i * chunk,), (chunk,))
             o_c, d_c = camera_rays_for_ids(ids, config)
             return render_rays(scene.mesh, accel, scene.sun, o_c, d_c,
-                               key_c, config)
+                               key_c, config, lights=lights)
         return body
 
     rgb = _dispatch_chunks(_cached_body(ckey, make, (refs, perm)), keys,

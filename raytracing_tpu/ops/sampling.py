@@ -55,6 +55,28 @@ def cosine_hemisphere(
     return normalize(d, eps=1e-20)
 
 
+def sample_cone(
+    key: jax.Array, axis: jnp.ndarray, cos_max: jnp.ndarray,
+    shape: Tuple[int, ...] = ()
+) -> jnp.ndarray:
+    """Uniform directions inside the cone of half-angle acos(cos_max)
+    around unit axes [..., 3] — the standard spherical-light solid-angle
+    sampler. cos_theta ~ U[cos_max, 1]; pdf = 1 / (2*pi*(1 - cos_max)).
+    `shape` prepends extra sample dims."""
+    batch = shape + axis.shape[:-1]
+    u = jax.random.uniform(key, batch + (2,), dtype=axis.dtype)
+    cos_t = 1.0 - u[..., 0] * (1.0 - cos_max)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    psi = 2.0 * jnp.pi * u[..., 1]
+    t1, t2 = tangent_frame(axis)
+    d = (
+        (sin_t * jnp.cos(psi))[..., None] * t1
+        + (sin_t * jnp.sin(psi))[..., None] * t2
+        + cos_t[..., None] * axis
+    )
+    return normalize(d, eps=1e-20)
+
+
 def stratified_offsets(spp: int, dtype=jnp.float32) -> jnp.ndarray:
     """Sub-pixel sample offsets [spp, 2] on a sqrt(spp) x sqrt(spp) grid.
 
