@@ -46,9 +46,12 @@ def _emit(metric, value, unit, baseline=None):
 def bench_backward_over_forward(scene, accel, cfg):
     """Forward render vs value_and_grad of a scalar pixel loss w.r.t.
     verts + colors + materials, on identical ray batches."""
-    n = 262144
-    chunk = n  # one program
-    ids = block_ray_ids(0, chunk, cfg, 16, 16)
+    # Representative mid-frame batch (16 chunks over the teapot region):
+    # a sky-only batch makes forward artificially cheap (dead tiles cull
+    # free) and the ratio meaninglessly large.
+    ids = jnp.concatenate(
+        [block_ray_ids(i, 16384, cfg, 16, 16) for i in range(90, 106)]
+    )
     o, d = camera_rays_for_ids(ids, cfg)
     key = jax.random.PRNGKey(3)
 
