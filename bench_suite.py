@@ -134,7 +134,15 @@ def main():
         _emit("whitted_frame_seconds", dt, "s")
         _emit("whitted_fps", 1.0 / dt, "fps")
 
-    # 4. scaling efficiency across available devices
+    # 4. accel build time — the analog of the reference's criterion
+    # pack_triangles microbenchmark (benches/simd_bench.rs:62-64), now
+    # covering the whole structure build (sort + pack + kernel blocks).
+    t0 = time.perf_counter()
+    build_cluster_accel(scene.mesh, cluster_size=16)
+    _emit("accel_build_teapot_scene", (time.perf_counter() - t0) * 1e3,
+          "ms")
+
+    # 5. scaling efficiency across available devices
     results, n_all = bench_scaling(scene, cfg)
     if n_all > 1:
         _emit(f"scaling_efficiency_n{n_all}",
