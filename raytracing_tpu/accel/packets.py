@@ -357,20 +357,21 @@ def _kernel_blocks_host(
     return tri_blocks, pmt_blocks, np.ascontiguousarray(woop_blocks)
 
 
-# The Pallas walk kernel keeps the whole kernel-block tables VMEM-resident
-# (one DMA per grid step, zero per-visit latency). v5e VMEM is 128 MB;
-# leave room for ray tiles, accumulators and double-buffering. Scenes
-# beyond this (~700k triangles at cs=16) currently take the pure-XLA
-# cluster path, which streams from HBM; an in-kernel double-buffered DMA
-# stream over the visit list is the planned lift for >VMEM scenes.
+# The Pallas walk kernel keeps its kernel-block tables VMEM-resident (one
+# DMA per grid step, zero per-visit latency). v5e VMEM is 128 MB; leave
+# room for ray tiles and accumulators. Scenes whose blocks exceed this
+# (~700k triangles at cs=16 -- VMEM pads a [C, 12, 16] table to
+# [C, 16, 128], 10.6x its logical size) are traversed as a SEQUENCE of
+# resident cluster groups, each one an ordinary walk, merged per-ray by
+# elementwise nearest (kernels/traverse._walk_groups).
 _PALLAS_BLOCK_BUDGET_BYTES = 96 * 1024 * 1024
 
 
 def fits_pallas_vmem(accel: ClusterAccel) -> bool:
-    """Whether the accel's kernel blocks fit the Pallas VMEM-resident
-    traversal (see _PALLAS_BLOCK_BUDGET_BYTES). VMEM tiles pad the minor
-    dim to 128 lanes and the next dim to 8 sublanes — a [C, 12, 16] block
-    table occupies C x 16 x 128 floats, 10.6x its logical size."""
+    """Whether the accel's kernel blocks fit ONE VMEM-resident group
+    (diagnostic — larger scenes still traverse on the pallas backend via
+    the grouped walk, one launch per group). VMEM tiles pad the minor dim
+    to 128 lanes and the next dim to 8 sublanes."""
 
     def padded_bytes(a):
         s = a.shape

@@ -581,6 +581,11 @@ def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0):
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        # Mosaic's default scoped-VMEM limit is 16 MB; the resident block
+        # tables legitimately use most of the chip's 128 MB (the grouping
+        # in _walk_groups caps them at _PALLAS_BLOCK_BUDGET_BYTES).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
     )(cnt, ids, rays8, *blocks)
 
 
@@ -653,6 +658,77 @@ _lazy_attrs.defvjp(_lazy_attrs_fwd, _lazy_attrs_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Cluster grouping: >VMEM scenes as a sequence of resident-group walks
+# ---------------------------------------------------------------------------
+
+
+def _vmem_group_clusters(accel: ClusterAccel, variant: str,
+                         n_attrs: int) -> int:
+    """Max clusters whose kernel blocks fit the VMEM budget at once.
+    VMEM pads each cluster's [rows, CS] block to [ceil(rows/8)*8,
+    ceil(CS/128)*128] floats."""
+    from raytracing_tpu.accel.packets import _PALLAS_BLOCK_BUDGET_BYTES
+
+    def per_cluster(a):
+        s = a.shape
+        return 4 * (-(-s[1] // 8) * 8) * (-(-s[2] // 128) * 128)
+
+    blocks = {"woop": accel.woop_blocks,
+              "pmt": accel.pmt_blocks}.get(variant, accel.tri_blocks)
+    b = per_cluster(blocks)
+    if n_attrs:
+        b += per_cluster(accel.attr_blocks)
+    return max(256, _PALLAS_BLOCK_BUDGET_BYTES // b)
+
+
+def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
+                 n_attrs):
+    """Phase 1-3 over the cluster set, split into VMEM-sized groups when
+    the scene's kernel blocks exceed the resident budget (the >VMEM path:
+    each group is one ordinary resident-block walk; per-ray results merge
+    by elementwise nearest — rays are independent, so grouping is exact).
+    Returns (t [1, rp], slot [1, rp] global packed ids, attrs | None) for
+    nearest queries; (t, occ, None) for occlusion queries."""
+    cs = accel.cluster_size
+    c_total = accel.num_clusters
+    gsz = _vmem_group_clusters(accel, variant, n_attrs)
+    all_blocks = {"woop": accel.woop_blocks,
+                  "pmt": accel.pmt_blocks}.get(variant, accel.tri_blocks)
+    kern = functools.partial(
+        _walk_kernel, cluster_size=cs, eps=eps, variant=variant,
+        nearest=nearest, t_max=t_max, n_attrs=n_attrs,
+    )
+    best = None
+    for lo in range(0, c_total, gsz):
+        hi = min(lo + gsz, c_total)
+        ids, _, cnt = _tile_visit_lists_soa(
+            rp, accel.cluster_min[lo:hi], accel.cluster_max[lo:hi],
+            RAY_TILE)
+        blocks = (all_blocks[lo:hi],)
+        if n_attrs:
+            blocks = blocks + (accel.attr_blocks[lo:hi],)
+        out = _launch_walk(kern, cnt, ids, rp, blocks, interpret,
+                           n_attrs=n_attrs)
+        if nearest:
+            t_g, s_g = out[0], out[1] + lo * cs
+            a_g = out[2] if n_attrs else None
+        else:
+            t_g, s_g, a_g = out[0], out[1], None
+        if best is None:
+            best = (t_g, s_g, a_g)
+        elif nearest:
+            better = t_g < best[0]
+            best = (
+                jnp.minimum(best[0], t_g),
+                jnp.where(better, s_g, best[1]),
+                jnp.where(better, a_g, best[2]) if n_attrs else None,
+            )
+        else:
+            best = (jnp.minimum(best[0], t_g), best[1] | s_g, None)
+    return best
+
+
+# ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
 
@@ -672,15 +748,8 @@ def nearest_hit_soa(
         interpret = not _on_tpu()
     rays8 = jax.lax.stop_gradient(rays8)
     rp, r = _pad_rays_soa(rays8)
-    ids, tnear, cnt = _tile_visit_lists_soa(rp, accel.cluster_min,
-                                            accel.cluster_max, RAY_TILE)
-    blocks = {"woop": accel.woop_blocks,
-              "pmt": accel.pmt_blocks}.get(variant, accel.tri_blocks)
-    kern = functools.partial(
-        _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
-        variant=variant, nearest=True, t_max=float("inf"),
-    )
-    t_k, slot = _launch_walk(kern, cnt, ids, rp, (blocks,), interpret)
+    t_k, slot, _ = _walk_groups(accel, rp, eps, interpret, variant,
+                                nearest=True, t_max=float("inf"), n_attrs=0)
     t_k = t_k[0, :r]
     slot = slot[0, :r]
     # The kernel emits packed slot ids (cluster * CS + sublane); resolve to
@@ -709,19 +778,10 @@ def nearest_hit_attrs_soa(
         interpret = not _on_tpu()
     rays8 = jax.lax.stop_gradient(rays8)
     rp, r = _pad_rays_soa(rays8)
-    ids, tnear, cnt = _tile_visit_lists_soa(rp, accel.cluster_min,
-                                            accel.cluster_max, RAY_TILE)
-    blocks = {"woop": accel.woop_blocks,
-              "pmt": accel.pmt_blocks}.get(variant, accel.tri_blocks)
     n_attrs = accel.attr_blocks.shape[1]
-    kern = functools.partial(
-        _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
-        variant=variant, nearest=True, t_max=float("inf"), n_attrs=n_attrs,
-    )
-    t_k, slot, attrs = _launch_walk(
-        kern, cnt, ids, rp, (blocks, accel.attr_blocks), interpret,
-        n_attrs=n_attrs,
-    )
+    t_k, slot, attrs = _walk_groups(accel, rp, eps, interpret, variant,
+                                    nearest=True, t_max=float("inf"),
+                                    n_attrs=n_attrs)
     return t_k[0, :r], slot[0, :r], attrs[:, :r]
 
 
@@ -738,15 +798,8 @@ def any_hit_soa(
         interpret = not _on_tpu()
     rays8 = jax.lax.stop_gradient(rays8)
     rp, r = _pad_rays_soa(rays8)
-    ids, tnear, cnt = _tile_visit_lists_soa(rp, accel.cluster_min,
-                                            accel.cluster_max, RAY_TILE)
-    blocks = {"woop": accel.woop_blocks,
-              "pmt": accel.pmt_blocks}.get(variant, accel.tri_blocks)
-    kern = functools.partial(
-        _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
-        variant=variant, nearest=False, t_max=t_max,
-    )
-    _, occ = _launch_walk(kern, cnt, ids, rp, (blocks,), interpret)
+    _, occ, _ = _walk_groups(accel, rp, eps, interpret, variant,
+                             nearest=False, t_max=t_max, n_attrs=0)
     return occ[0, :r] != 0
 
 

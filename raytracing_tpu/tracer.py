@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from raytracing_tpu.accel.packets import (
     ClusterAccel,
     any_hit_cluster,
-    fits_pallas_vmem,
     nearest_hit_cluster,
 )
 from raytracing_tpu.config import RenderConfig
@@ -47,10 +46,6 @@ def nearest_hit(
     if config.backend == "cluster":
         return nearest_hit_cluster(mesh, accel, o, d, config.eps)
     if config.backend == "pallas":
-        if not fits_pallas_vmem(accel):
-            # Scene blocks exceed the VMEM-resident kernel budget; the
-            # XLA cluster scan streams from HBM at any size.
-            return nearest_hit_cluster(mesh, accel, o, d, config.eps)
         from raytracing_tpu.kernels.traverse import nearest_hit_pallas
 
         return nearest_hit_pallas(mesh, accel, o, d, config.eps,
@@ -72,8 +67,7 @@ def nearest_hit_shaded(
     on backends that have no cheap attribute path (callers fall back to
     the fused row gather). NOTE: when attrs is not None, Hit.tri holds
     packed slot ids (see kernels.traverse.nearest_hit_shaded)."""
-    if (config.backend == "pallas" and accel is not None
-            and fits_pallas_vmem(accel)):
+    if config.backend == "pallas" and accel is not None:
         from raytracing_tpu.kernels.traverse import (
             nearest_hit_shaded as _shaded,
         )
@@ -97,8 +91,6 @@ def any_hit(
     if config.backend == "cluster":
         return any_hit_cluster(mesh, accel, o, d, t_max, config.eps)
     if config.backend == "pallas":
-        if not fits_pallas_vmem(accel):
-            return any_hit_cluster(mesh, accel, o, d, t_max, config.eps)
         from raytracing_tpu.kernels.traverse import any_hit_pallas
 
         return any_hit_pallas(mesh, accel, o, d, config.eps, t_max,

@@ -79,6 +79,45 @@ def test_bin_sort_unsort_roundtrip():
     np.testing.assert_array_equal(np.asarray(s_u), np.asarray(scalar))
 
 
+def test_grouped_walk_matches_single_group():
+    """>VMEM scenes traverse as a sequence of resident cluster groups;
+    forcing a tiny budget on the teapot scene must reproduce the single-
+    group results bit-for-bit (nearest, attrs, any-hit)."""
+    from raytracing_tpu.accel import packets as pk
+    from raytracing_tpu.geometry.scene import build_default_scene
+    from raytracing_tpu.kernels import traverse as tv
+
+    scene = build_default_scene(t=0.0)
+    accel = pk.build_cluster_accel(scene.mesh, cluster_size=16)
+    rng = np.random.default_rng(0)
+    n = 1024
+    o = jnp.zeros((n, 3))
+    th = rng.uniform(-0.5, 0.5, n)
+    ph = rng.uniform(-0.2, 0.5, n)
+    d = jnp.asarray(np.stack([np.sin(th), np.sin(ph), np.ones(n)],
+                             -1).astype(np.float32))
+    rays8 = tv.rays_to_soa(o, d)
+    t1, id1 = tv.nearest_hit_soa(accel, rays8, interpret=True)
+    _, s1, a1 = tv.nearest_hit_attrs_soa(accel, rays8, interpret=True)
+    occ1 = tv.any_hit_soa(accel, rays8, interpret=True)
+
+    saved = pk._PALLAS_BLOCK_BUDGET_BYTES
+    try:
+        pk._PALLAS_BLOCK_BUDGET_BYTES = 300 * 8192  # ~4 groups
+        tg, idg = tv.nearest_hit_soa(accel, rays8, interpret=True)
+        _, sg, ag = tv.nearest_hit_attrs_soa(accel, rays8, interpret=True)
+        occg = tv.any_hit_soa(accel, rays8, interpret=True)
+    finally:
+        pk._PALLAS_BLOCK_BUDGET_BYTES = saved
+
+    m = np.isfinite(np.asarray(tg))
+    np.testing.assert_array_equal(np.asarray(tg), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(idg)[m], np.asarray(id1)[m])
+    np.testing.assert_array_equal(np.asarray(sg)[m], np.asarray(s1)[m])
+    np.testing.assert_array_equal(np.asarray(ag)[:, m], np.asarray(a1)[:, m])
+    np.testing.assert_array_equal(np.asarray(occg), np.asarray(occ1))
+
+
 def test_subdivided_teapot_same_surface():
     from raytracing_tpu.accel.packets import build_cluster_accel
     from raytracing_tpu.geometry.mesh import Scene
