@@ -605,19 +605,27 @@ def _lazy_t_fwd(verts, o, d, tv_packed, slot, hit, t_k):
 
 def _lazy_t_bwd(res, g):
     verts, o, d, tv_packed, slot, hit = res
+    tvs = tv_packed[jnp.where(hit, slot, 0)]  # [R, 3] winning-tri verts
+    va = verts[tvs[:, 0]]
+    vb = verts[tvs[:, 1]]
+    vc = verts[tvs[:, 2]]
 
-    def t_of(verts_, o_, d_):
-        tvs = tv_packed[slot]  # [R, 3] vertex ids of the winning triangle
-        va = verts_[tvs[:, 0]]
-        vb = verts_[tvs[:, 1]]
-        vc = verts_[tvs[:, 2]]
+    def t_math(va_, vb_, vc_, o_, d_):
         t_d, _ = moller_trumbore(
-            o_, d_, TriangleSoA(va, vb - va, vc - va), INF, 1e-8
+            o_, d_, TriangleSoA(va_, vb_ - va_, vc_ - va_), INF, 1e-8
         )
         return jnp.where(hit & jnp.isfinite(t_d), t_d, 0.0)
 
-    _, vjp = jax.vjp(t_of, verts, o, d)
-    dverts, do, dd = vjp(jnp.where(hit, g, 0.0))
+    _, vjp = jax.vjp(t_math, va, vb, vc, o, d)
+    dva, dvb, dvc, do, dd = vjp(jnp.where(hit, g, 0.0))
+    # Scatter per-corner gradients into the vertex pool; dead lanes go
+    # out-of-bounds and drop (all-miss lanes otherwise pile conflict-
+    # serialized zero-adds onto triangle 0's vertices).
+    n_v = verts.shape[0]
+    dverts = jnp.zeros_like(verts)
+    for k, dvk in enumerate((dva, dvb, dvc)):
+        tvk = jnp.where(hit, tvs[:, k], n_v)
+        dverts = dverts.at[tvk].add(dvk, mode="drop")
     return dverts, do, dd, None, None, None, None
 
 
@@ -641,16 +649,22 @@ def _lazy_attrs_fwd(normals, colors, materials, order, obj_id, slot, hit,
 
 def _lazy_attrs_bwd(res, g):
     normals, colors, materials, order, obj_id, slot, hit = res
-
-    def attrs_of(normals_, colors_, materials_):
-        idv = order[jnp.where(hit, slot, 0)]
-        rows = jnp.concatenate(
-            [normals_[idv], colors_[idv], materials_[obj_id[idv]]], axis=1
-        )
-        return jnp.where(hit[:, None], rows, 0.0)
-
-    _, vjp = jax.vjp(attrs_of, normals, colors, materials)
-    dn, dc, dm = vjp(jnp.where(hit[:, None], g, 0.0))
+    # Hand-written transpose: the attrs are plain gathers, so their vjp is
+    # three scatter-adds. Writing them directly (instead of jax.vjp of the
+    # gather expression) skips re-running ~9 serial gather columns in
+    # backward — only the two unavoidable id gathers remain.
+    # Dead lanes get an OUT-OF-BOUNDS target and mode='drop': scattering
+    # their (zero) contributions into a shared row 0 serializes the
+    # scatter on that row's conflicts, and most bounce-level lanes are
+    # dead.
+    t_rows = normals.shape[0]
+    idv = jnp.where(hit, order[jnp.where(hit, slot, 0)], t_rows)
+    gm = jnp.where(hit[:, None], g, 0.0)
+    obj = jnp.where(hit, obj_id[jnp.where(hit, idv, 0)],
+                    materials.shape[0])
+    dn = jnp.zeros_like(normals).at[idv].add(gm[:, 0:3], mode="drop")
+    dc = jnp.zeros_like(colors).at[idv].add(gm[:, 3:6], mode="drop")
+    dm = jnp.zeros_like(materials).at[obj].add(gm[:, 6:9], mode="drop")
     return dn, dc, dm, None, None, None, None, None
 
 
