@@ -1,10 +1,18 @@
 """Headline benchmark: primary rays/s per chip on the teapot scene.
 
-Measures the nearest-hit traversal (Pallas megakernel, cluster accel) over
-the reference workload's primary rays — 800x800 with 4 stratified samples =
-2.56M rays/frame (/root/reference/src/main.rs:29-36, :321-365) against the
-default two-teapots-and-ground scene (12,642 triangles). Baseline target
-(BASELINE.md): 1e9 primary rays/s per v5e chip.
+Measures the nearest-hit traversal (Pallas megakernel, cluster accel +
+dense rest set) over the reference workload's primary rays — 800x800 with
+4 stratified samples = 2.56M rays/frame (/root/reference/src/main.rs:29-36,
+:321-365) against the default two-teapots-and-ground scene (12,642
+triangles). Baseline target (BASELINE.md): 1e9 primary rays/s per v5e chip.
+
+Measurement discipline (see raytracing_tpu/utils/timing.py): this runtime
+can serve a repeated (executable, inputs) dispatch from cache without
+re-executing, so every iteration perturbs the ray pack by a scalar folded
+out of the previous result — a true dependency chain. The reported time
+subtracts a null chain (same perturb+fold, no traversal), so the number
+reflects the traversal pipeline itself. A hit-fraction gate refuses to
+report if the kernel traced nothing.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -33,13 +41,11 @@ def main() -> None:
 
     o, d = camera_rays(cfg)
     spp, h, w = o.shape[:3]
-    perm, _ = block_permutation(spp, h, w, 16, 16)  # 16x16-px x 4spp = 1024-ray tiles
-    # SoA ray pack [8, N] in block order, built host-side (static camera).
+    perm, _ = block_permutation(spp, h, w, 16, 16)  # 16x16 px x 4spp tiles
     on = np.asarray(o).reshape(-1, 3)[np.asarray(perm)]
     dn = np.asarray(d).reshape(-1, 3)[np.asarray(perm)]
     measured = on.shape[0]
-    # SoA rows: ox oy oz 1 dx dy dz ALIVE (row 7 = 1.0 marks live lanes;
-    # see kernels.traverse.rays_to_soa).
+    # SoA rows: ox oy oz 1 dx dy dz ALIVE (kernels.traverse.rays_to_soa).
     rays8 = jnp.asarray(
         np.concatenate(
             [on.T, np.ones((1, measured), np.float32),
@@ -48,25 +54,39 @@ def main() -> None:
     )
 
     @jax.jit
-    def frame(rays8):
-        t, _ = nearest_hit_soa(accel, rays8, interpret=not on_tpu)
+    def frame(state, rays8):
+        r = rays8.at[0, 0].add(state * 1e-12)  # dependency chain
+        t, _ = nearest_hit_soa(accel, r, interpret=not on_tpu)
         hit = jnp.isfinite(t)
-        return jnp.sum(t, where=hit), jnp.sum(hit)
+        return jnp.sum(t, where=hit) * 1e-20, jnp.sum(hit)
+
+    @jax.jit
+    def null(state, rays8):
+        r = rays8.at[0, 0].add(state * 1e-12)
+        return jnp.sum(r[0, :8]) * 1e-20, jnp.int32(0)
+
+    def chain(f, iters):
+        s, hits = jax.block_until_ready(f(jnp.float32(0.0), rays8))
+        best = float("inf")
+        for _ in range(3):
+            st = s
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                st, _ = f(st, rays8)
+            jax.block_until_ready(st)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best, hits
 
     # warmup / compile — and a sanity gate: on the teapot frame roughly
     # half the primary rays hit geometry. A broken kernel (or an all-dead
     # ray pack) would "win" the benchmark by tracing nothing; refuse to
     # report a number unless the hit count is plausible.
-    tsum, hits = jax.block_until_ready(frame(rays8))
+    iters = 20 if on_tpu else 1
+    dt, hits = chain(frame, iters)
     hit_frac = float(hits) / measured
     assert 0.2 < hit_frac < 0.9, f"implausible hit fraction {hit_frac:.3f}"
-    iters = 20 if on_tpu else 1
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = frame(rays8)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    rays_per_s = measured / dt
+    dt_null, _ = chain(null, iters)
+    rays_per_s = measured / max(dt - dt_null, 1e-9)
 
     print(
         json.dumps(

@@ -67,6 +67,17 @@ class ClusterAccel(NamedTuple):
     attr_tables:  [O, 6] f32 (objid mode) — per-object color(3) +
                   material(3) rows; None in full mode.
     tri_blocks:   [C, 9, CS]  f32 — v0/e1/e2 rows, triangles on lanes
+    pmt_t_blocks: [C, CS, 12] f32 — the Baldwin–Weber rows TRANSPOSED:
+                  triangles on SUBLANES, the 12 quantities on lanes. This
+                  is the walk kernel's default operand: slicing quantity q
+                  is a lane slice producing a native [CS, 1] sublane
+                  column, where the row-major layout needed a
+                  [1, CS] -> [CS, 1] transpose PER QUANTITY PER VISIT
+                  (12 transposes/visit — measured as most of the
+                  per-visit fixed cost; removing them is ~1.9x on the
+                  walk). VMEM pads the 12 lanes to 128 (10.7x logical
+                  size) — the _vmem_group_clusters budget accounts for it.
+    attr_t_blocks:[C, CS, A] f32 — attr_blocks transposed the same way.
     pmt_blocks:   [C, 12, CS] f32 — Baldwin–Weber precomputed form:
                   rows n(3), d0 = n·v0, U(3), u0 = -U·v0, V(3), v0c = -V·v0
                   with U = (e2 x n)/|n|^2, V = (n x e1)/|n|^2. Trades 3
@@ -84,10 +95,23 @@ class ClusterAccel(NamedTuple):
     cluster_max: jnp.ndarray
     tri_blocks: jnp.ndarray
     pmt_blocks: jnp.ndarray
+    pmt_t_blocks: jnp.ndarray
     woop_blocks: jnp.ndarray
     order_blocks: jnp.ndarray
     attr_blocks: jnp.ndarray
+    attr_t_blocks: jnp.ndarray
     attr_tables: Optional[jnp.ndarray]
+    # Rest set — the TPU analog of the reference's scalar tail loops
+    # (opt.rs:69-72 rest_tri; consumed at main.rs:157-169): objects with
+    # fewer triangles than a cluster would mostly pad (the 2-triangle
+    # ground plane costs every ray 8 kernel tests for 2 real triangles —
+    # ~24% of all tests on the teapot frame) AND their huge AABBs defeat
+    # culling. They are instead intersected by a dense vectorized XLA
+    # pass over all rays (Rr <= rest_max triangles), merged elementwise
+    # with the kernel result. None when empty.
+    rest_blocks: Optional[jnp.ndarray]   # [Rr, 9] v0|e1|e2 rows
+    rest_ids: Optional[jnp.ndarray]      # [Rr] original triangle ids
+    rest_attrs: Optional[jnp.ndarray]    # [Rr, A] attr-plane schema rows
 
     @property
     def num_clusters(self) -> int:
@@ -96,6 +120,14 @@ class ClusterAccel(NamedTuple):
     @property
     def cluster_size(self) -> int:
         return self.order.shape[0] // self.cluster_min.shape[0]
+
+    @property
+    def order_ext(self) -> jnp.ndarray:
+        """slot -> original triangle id INCLUDING rest slots (rest slot j
+        is S + j, S = packed slot count)."""
+        if self.rest_ids is None:
+            return self.order
+        return jnp.concatenate([self.order, self.rest_ids])
 
 
 def _morton_codes(centroids: np.ndarray) -> np.ndarray:
@@ -189,7 +221,8 @@ def _index_sort_order(tri_v: np.ndarray) -> np.ndarray:
 
 
 def build_cluster_accel(
-    mesh: Mesh, cluster_size: int = 128, method: str = "auto"
+    mesh: Mesh, cluster_size: int = 128, method: str = "auto",
+    rest_max: int = 64,
 ) -> ClusterAccel:
     """Host-side (numpy) build. `method`: "auto" (default: "sah" up to
     100k triangles, "median" beyond — the exact SAH sweep costs ~2 min at
@@ -198,16 +231,33 @@ def build_cluster_accel(
     split), "morton" (Z-order sort), or "index" (reference-parity locality
     sort). Objects are packed independently so a cluster never spans two
     objects (mirroring the per-object build of opt.rs; keeps cluster AABBs
-    tight when objects are far apart)."""
+    tight when objects are far apart).
+
+    Objects smaller than a cluster go to the dense REST SET (up to
+    rest_max triangles total; see ClusterAccel.rest_blocks) instead of a
+    mostly-padding cluster — but only when at least one object is big
+    enough to cluster (a rest-only accel would leave the kernel walking
+    nothing)."""
     verts = np.asarray(mesh.verts)
     tri_v = np.asarray(mesh.tri_v)
     obj_id = np.asarray(mesh.obj_id)
     if method == "auto":
         method = "sah" if tri_v.shape[0] <= 100_000 else "median"
 
+    n_obj = int(obj_id.max()) + 1 if obj_id.size else 0
+    counts = [int((obj_id == oi).sum()) for oi in range(n_obj)]
+    any_big = any(k >= cluster_size for k in counts)
+    rest_parts: list = []
+    rest_budget = rest_max
+
     order_parts = []
-    for oi in range(int(obj_id.max()) + 1 if obj_id.size else 0):
+    for oi in range(n_obj):
         sel = np.nonzero(obj_id == oi)[0]
+        if (any_big and len(sel) < cluster_size
+                and len(sel) <= rest_budget):
+            rest_parts.append(sel)
+            rest_budget -= len(sel)
+            continue
         tv = tri_v[sel]
         if method == "index":
             sub = _index_sort_order(tv)
@@ -275,7 +325,26 @@ def build_cluster_accel(
         ) * valid[:, None]
         attr_tables = None
     a_rows = attrs.shape[1]
-    attr_blocks = attrs.reshape(c, cluster_size, a_rows).transpose(0, 2, 1)
+    attr_t = attrs.reshape(c, cluster_size, a_rows)
+    attr_blocks = attr_t.transpose(0, 2, 1)
+
+    rest_blocks = rest_ids_j = rest_attrs = None
+    if rest_parts:
+        rest = np.concatenate(rest_parts).astype(np.int64)
+        rv = verts[tri_v[rest]].astype(np.float32)  # [Rr, 3, 3]
+        r_v0 = rv[:, 0]
+        rest_blocks = jnp.asarray(np.concatenate(
+            [r_v0, rv[:, 1] - r_v0, rv[:, 2] - r_v0], axis=1))
+        rest_ids_j = jnp.asarray(rest.astype(np.int32))
+        if uniform:
+            ra = np.concatenate(
+                [normals[rest], obj_id[rest][:, None].astype(np.float32)],
+                axis=1)
+        else:
+            ra = np.concatenate(
+                [normals[rest], colors[rest], materials[obj_id[rest]]],
+                axis=1)
+        rest_attrs = jnp.asarray(ra.astype(np.float32))
     return ClusterAccel(
         order=jnp.asarray(order.astype(np.int32)),
         slot_valid=jnp.asarray(valid),
@@ -283,12 +352,19 @@ def build_cluster_accel(
         cluster_max=jnp.asarray(vmax.astype(np.float32)),
         tri_blocks=jnp.asarray(tri_blocks),
         pmt_blocks=jnp.asarray(pmt_blocks),
+        pmt_t_blocks=jnp.asarray(
+            np.ascontiguousarray(pmt_blocks.transpose(0, 2, 1))
+        ),
         woop_blocks=jnp.asarray(woop_blocks),
         order_blocks=jnp.asarray(
             order.astype(np.int32).reshape(c, cluster_size)
         ),
         attr_blocks=jnp.asarray(np.ascontiguousarray(attr_blocks)),
+        attr_t_blocks=jnp.asarray(np.ascontiguousarray(attr_t)),
         attr_tables=attr_tables,
+        rest_blocks=rest_blocks,
+        rest_ids=rest_ids_j,
+        rest_attrs=rest_attrs,
     )
 
 
@@ -385,6 +461,63 @@ def fits_pallas_vmem(accel: ClusterAccel) -> bool:
         <= _PALLAS_BLOCK_BUDGET_BYTES
 
 
+def refit_attr_planes(
+    accel: ClusterAccel, mesh: Mesh,
+    first_tri: Optional[np.ndarray] = None,
+) -> ClusterAccel:
+    """Refresh the kernel attribute planes from the LIVE mesh tables — the
+    cheap (device-side, jit-safe) slice of the refit contract for use when
+    colors/materials/normals are optimization parameters (inverse.fit):
+    without it, the pallas forward pass shades with the attributes baked at
+    build time while gradients flow to the live tables, so the descent
+    direction is computed against a stale residual.
+
+    Only the attribute planes are refreshed; bounds and triangle blocks
+    still require a host rebuild when VERTICES move (build_cluster_accel).
+    All outputs are stop_gradient'd: forward VALUES come from the refit
+    planes, gradients flow through traverse._lazy_attrs as before.
+
+    first_tri: [O] static first-triangle index per object (objid mode) —
+    computed from mesh.obj_id when it is concrete; must be passed when
+    calling under jit with a traced mesh."""
+    sg = jax.lax.stop_gradient
+    cs = accel.cluster_size
+    c = accel.num_clusters
+    valid = accel.slot_valid[:, None].astype(mesh.normals.dtype)
+    if accel.attr_tables is not None:
+        obj_plane = accel.attr_blocks[:, 3:4, :]  # static obj ids
+        nrm = sg(mesh.normals)[accel.order] * valid  # [S, 3]
+        planes_t = nrm.reshape(c, cs, 3)
+        attr_blocks = jnp.concatenate(
+            [planes_t.transpose(0, 2, 1), obj_plane], axis=1)
+        attr_t = jnp.concatenate(
+            [planes_t, accel.attr_t_blocks[:, :, 3:4]], axis=2)
+        if first_tri is None:
+            obj_id = np.asarray(mesh.obj_id)
+            first_tri = np.searchsorted(np.sort(obj_id),
+                                        np.arange(accel.attr_tables.shape[0]))
+            first_tri = np.argsort(obj_id, kind="stable")[first_tri]
+        tbl = jnp.concatenate(
+            [sg(mesh.colors)[jnp.asarray(first_tri)], sg(mesh.materials)],
+            axis=1)
+        accel = accel._replace(attr_blocks=attr_blocks,
+                               attr_t_blocks=attr_t, attr_tables=tbl)
+        if accel.rest_ids is not None:
+            rn = sg(mesh.normals)[accel.rest_ids]
+            accel = accel._replace(rest_attrs=jnp.concatenate(
+                [rn, accel.rest_attrs[:, 3:4]], axis=1))
+        return accel
+    attrs = jnp.concatenate(
+        [mesh.normals, mesh.colors, mesh.materials[mesh.obj_id]], axis=1)
+    attrs_p = sg(attrs)[accel.order] * valid
+    attr_t = attrs_p.reshape(c, cs, -1)
+    accel = accel._replace(attr_blocks=attr_t.transpose(0, 2, 1),
+                           attr_t_blocks=attr_t)
+    if accel.rest_ids is not None:
+        accel = accel._replace(rest_attrs=sg(attrs)[accel.rest_ids])
+    return accel
+
+
 def packed_triangles(mesh: Mesh, accel: ClusterAccel) -> TriangleSoA:
     """Gather the Möller–Trumbore-ready triangle SoA in packed (cluster)
     order from the live vertex pool — differentiable w.r.t. mesh.verts.
@@ -449,19 +582,47 @@ def _cluster_scan(tri: TriangleSoA, accel: ClusterAccel, o, d, eps, nearest: boo
     return t, i, occ
 
 
+def rest_triangles(mesh: Mesh, accel: ClusterAccel) -> TriangleSoA:
+    """Rest-set triangle SoA from the LIVE vertex pool (differentiable) —
+    the dense-path sibling of `packed_triangles`."""
+    tv = mesh.tri_v[accel.rest_ids]
+    va = mesh.verts[tv[:, 0]]
+    vb = mesh.verts[tv[:, 1]]
+    vc = mesh.verts[tv[:, 2]]
+    return TriangleSoA(v0=va, e1=vb - va, e2=vc - va)
+
+
 def nearest_hit_cluster(
     mesh: Mesh, accel: ClusterAccel, o, d, eps: float = 1e-8
 ) -> Hit:
     """Nearest hit through the cluster structure (XLA backend). Returns
-    original triangle ids (accel.order applied)."""
+    original triangle ids (accel.order applied). The rest set (small
+    objects, see ClusterAccel.rest_blocks) merges in from a dense pass
+    over the live vertex pool."""
+    from raytracing_tpu.ops.trace import nearest_hit_brute
+
     tri = packed_triangles(mesh, accel)
     t, slot, _ = _cluster_scan(tri, accel, o, d, eps, nearest=True)
-    return Hit(t=t, tri=accel.order[slot], hit=jnp.isfinite(t))
+    tri_id = accel.order[slot]
+    if accel.rest_ids is not None:
+        rt = rest_triangles(mesh, accel)
+        hb = nearest_hit_brute(rt, o, d, eps,
+                               block=max(8, accel.rest_ids.shape[0]))
+        better = hb.t < t
+        t = jnp.minimum(t, hb.t)
+        tri_id = jnp.where(better, accel.rest_ids[hb.tri], tri_id)
+    return Hit(t=t, tri=tri_id, hit=jnp.isfinite(t))
 
 
 def any_hit_cluster(
     mesh: Mesh, accel: ClusterAccel, o, d, t_max=INF, eps: float = 1e-8
 ) -> jnp.ndarray:
+    from raytracing_tpu.ops.trace import any_hit_brute
+
     tri = packed_triangles(mesh, accel)
     _, _, occ = _cluster_scan(tri, accel, o, d, eps, nearest=False, t_max=t_max)
+    if accel.rest_ids is not None:
+        rt = rest_triangles(mesh, accel)
+        occ = occ | any_hit_brute(rt, o, d, t_max, eps,
+                                  block=max(8, accel.rest_ids.shape[0]))
     return occ

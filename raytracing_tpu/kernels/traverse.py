@@ -6,7 +6,7 @@ triangles per `__m256` packet and walks packets/clusters with scalar
 early-outs (main.rs:93-171), this traversal runs in three phases sized for
 the TPU's strengths:
 
-  phase 1 (XLA, `_tile_visit_lists`) — conservative tile-frustum culling by
+  phase 1 (XLA, `_tile_visit_lists_soa`) — conservative tile-frustum culling by
       interval arithmetic: each RAY_TILE-ray tile is summarized by its
       origin/direction bounding intervals, and a closed-form interval slab
       test marks every cluster the tile *could* enter. O(tiles x clusters)
@@ -86,6 +86,14 @@ SUBTILES = 4  # culling tiles per grid step (amortizes per-step cost)
 # 1024-ray tiles), so the fallback only triggers for incoherent batches
 # that culling cannot help.
 _MAX_VISITS = 128
+# Visit-list entries fused per walk-loop trip (see _walk_kernel UNROLL
+# note). Measured on v5e: unrolling only ADDS wasted tests (the loop's
+# fixed cost is small and the accumulator update scales with the fused
+# width), so the default is 1.
+VISIT_UNROLL = 1
+# Visit lists as a sliced VMEM operand instead of SMEM scalar-prefetch —
+# lifts the SMEM budget (no chunked launches at high tile counts).
+IDS_VMEM = False
 DEFAULT_VARIANT = "pmt"
 _TINY = 1e-20
 _BIG_ID = 2 ** 30  # python int: kernels may not capture traced constants
@@ -100,53 +108,79 @@ def _on_tpu() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _tile_visit_lists(o, d, cluster_min, cluster_max, rt):
-    """Interval-arithmetic slab test of every ray tile against every
-    cluster AABB. Conservative: never misses a truly-intersecting cluster.
+def _extents_kernel(rays_ref, lo_ref, hi_ref, *, rt):
+    """Per-tile masked ray extents — the frustum inputs of phase 1.
 
-    Per tile, origins lie in [o_lo, o_hi] and directions in [d_lo, d_hi]
-    per axis. If a direction interval straddles 0 the axis is unconstrained
-    (t in (-inf, inf)); otherwise 1/d is monotonic so inv_d in
-    [1/d_hi, 1/d_lo], and the per-axis slab window is bounded by the four
-    interval products. Entry lower bound = max over axes; exit upper bound
-    = min over axes.
-    """
-    nt = o.shape[0] // rt
-    ot = o.reshape(nt, rt, 3)
-    dt = d.reshape(nt, rt, 3)
-    o_lo, o_hi = ot.min(axis=1), ot.max(axis=1)  # [nt, 3]
-    d_lo, d_hi = dt.min(axis=1), dt.max(axis=1)
-    return _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi,
-                                     cluster_min, cluster_max)
+    The XLA formulation ([8, N] -> reshape -> per-tile lane-axis min/max)
+    measured 1.7 ms at 2.56 M rays: every reduction's [nt] output forces a
+    sublane->lane relayout. Here each grid step reduces its tiles entirely
+    in registers: one masked [8, RT] min + max per tile (all six o/d
+    quantities reduce together on sublanes), emitted as [1, 8] rows.
+    Rows of lo/hi: (ox oy oz _ dx dy dz ALIVE-count-signal) — slot 7 of
+    `hi` carries the masked max of row 7, so tile_alive = hi[:, 7] > 0."""
+    n_tiles = rays_ref.shape[1] // rt
+    big = jnp.float32(3e38)
+    for t in range(n_tiles):
+        rows = rays_ref[:, t * rt:(t + 1) * rt]  # [8, RT]
+        alive = rows[7:8, :] != 0.0  # [1, RT] broadcasts over sublanes
+        m_lo = jnp.where(alive, rows, big)
+        m_hi = jnp.where(alive, rows, -big)
+        lo_ref[t:t + 1, :] = jnp.min(m_lo, axis=1, keepdims=True).reshape(1, 8)
+        hi_ref[t:t + 1, :] = jnp.max(m_hi, axis=1, keepdims=True).reshape(1, 8)
 
 
-def _tile_visit_lists_soa(rays8, cluster_min, cluster_max, rt):
+def _tile_extents_pallas(rays8, rt, interpret):
+    """[8, N] SoA ray pack -> (lo [nt, 8], hi [nt, 8]) masked per-tile
+    extents (see _extents_kernel)."""
+    n = rays8.shape[1]
+    nt = n // rt
+    tiles_per_step = min(nt, 32)
+    grid = nt // tiles_per_step
+    rem = nt - grid * tiles_per_step
+    kern = functools.partial(_extents_kernel, rt=rt)
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((8, tiles_per_step * rt), lambda i: (0, i))],
+        out_specs=[
+            pl.BlockSpec((tiles_per_step, 8), lambda i: (i, 0)),
+            pl.BlockSpec((tiles_per_step, 8), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid * tiles_per_step, 8), jnp.float32),
+            jax.ShapeDtypeStruct((grid * tiles_per_step, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rays8[:, :grid * tiles_per_step * rt])
+    lo, hi = out
+    if rem:
+        # Tail tiles (ray counts not divisible by 32 tiles) via the XLA
+        # fallback — small, and only non-default chunk sizes hit it.
+        r = rays8[:, grid * tiles_per_step * rt:].reshape(8, rem, rt)
+        a = r[7] != 0.0
+        big = jnp.float32(3e38)
+        mlo = jnp.where(a[None], r, big).min(axis=2).T  # [rem, 8]
+        mhi = jnp.where(a[None], r, -big).max(axis=2).T
+        lo = jnp.concatenate([lo, mlo], axis=0)
+        hi = jnp.concatenate([hi, mhi], axis=0)
+    return lo, hi
+
+
+def _tile_visit_lists_soa(rays8, cluster_min, cluster_max, rt,
+                          interpret=False):
     """Visit lists from the SoA ray pack [8, N] (rows ox oy oz 1 dx dy dz
     ALIVE). The per-tile frustum is computed over ALIVE lanes only (row 7
     != 0): dead lanes — padding, children of miss parents, zero-weight
     paths — carry arbitrary garbage o/d that would otherwise widen a mixed
     tile's frustum to the whole scene. An all-dead tile gets cnt = 0 and
-    costs one empty grid step."""
-    n = rays8.shape[1]
-    nt = n // rt
-    r = rays8.reshape(8, nt, rt)
-    a = r[7] != 0.0  # [nt, rt]
-    big = jnp.float32(3e38)
-
-    def masked(rows, sign):
-        out = []
-        for k in rows:
-            v = jnp.where(a, r[k], sign * big)
-            out.append(v.min(axis=1) if sign > 0 else v.max(axis=1))
-        return jnp.stack(out, axis=1)  # [nt, 3]
-
-    o_lo = masked((0, 1, 2), +1)
-    o_hi = masked((0, 1, 2), -1)
-    d_lo = masked((4, 5, 6), +1)
-    d_hi = masked((4, 5, 6), -1)
+    costs one empty grid step. Extents come from the small Pallas
+    reduction kernel (_extents_kernel)."""
+    lo, hi = _tile_extents_pallas(rays8, rt, interpret)
+    o_lo, o_hi = lo[:, 0:3], hi[:, 0:3]
+    d_lo, d_hi = lo[:, 4:7], hi[:, 4:7]
     ids, tnear, cnt = _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi,
                                                 cluster_min, cluster_max)
-    tile_alive = a.any(axis=1)
+    tile_alive = hi[:, 7] > 0.0
     cnt = jnp.where(tile_alive, cnt, 0)
     return ids, tnear, cnt
 
@@ -274,6 +308,43 @@ def _pmt_tile(o, d, blk, eps, t_limit=None):
     return jnp.where(valid, t, INF)
 
 
+def _pmt_t_tile(o, d, blk, eps, t_limit=None):
+    """Baldwin–Weber intersection from the TRANSPOSED block layout: blk
+    [CS, 12] with triangles on sublanes and quantity columns on lanes.
+    Math identical to `_pmt_tile`; the difference is pure layout — each
+    per-quantity operand is a lane slice `blk[:, k:k+1]`, already the
+    native [CS, 1] sublane column the outer-product broadcast wants. The
+    row-major layout needed a [1, CS] -> [CS, 1] RESHAPE (a sublane<->lane
+    transpose) per quantity per visit; those 12 transposes measured as the
+    bulk of the per-visit fixed cost on v5e."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+
+    def col(k):
+        return blk[:, k:k + 1]
+
+    nx, ny, nz, d0 = col(0), col(1), col(2), col(3)
+    ux, uy, uz, u0 = col(4), col(5), col(6), col(7)
+    vx, vy, vz, v0c = col(8), col(9), col(10), col(11)
+    den = nx * dx + ny * dy + nz * dz            # [CS, RT]
+    t = (d0 - (nx * ox + ny * oy + nz * oz)) / den
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    u = ux * px + uy * py + uz * pz + u0
+    v = vx * px + vy * py + vz * pz + v0c
+    valid = (
+        (jnp.abs(den) >= eps)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > eps)
+    )
+    if t_limit is not None:
+        valid = valid & (t < t_limit)
+    return jnp.where(valid, t, INF)
+
+
 def _woop_tile_t(rays8t, blk, cs, eps, t_limit=None):
     """Woop-transform intersection of the ray tile against one cluster:
     rays8t [8, RT] (SoA rows), blk [8, 6*CS]. The transform is ONE MXU
@@ -313,8 +384,9 @@ def _woop_tile_t(rays8t, blk, cs, eps, t_limit=None):
     return jnp.where(valid, t, INF)
 
 
-def _walk_kernel(cnt_ref, ids_ref, rays_ref, tri_ref, *refs, cluster_size,
-                 eps, variant, nearest, t_max, n_attrs=0):
+def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
+                 eps, variant, nearest, t_max, n_attrs=0, unroll=1,
+                 per_ray_tmax=False, ray_tile=RAY_TILE, ids_vmem=False):
     """Shared nearest/any-hit walk over the tile's visit list.
 
     Layout: everything is transposed so RAYS LIVE ON LANES and TRIANGLES
@@ -348,15 +420,19 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, tri_ref, *refs, cluster_size,
     M-ray id gather measured 19.5 ms on v5e — 3.4x the whole traversal —
     while the in-loop selects cost ~25%% of one intersection.
     """
+    refs = list(refs)
+    tmax_ref = refs.pop(0) if per_ray_tmax else None
+    tri_ref = refs.pop(0)
     if n_attrs:
         attr_ref, t_ref, i_ref, a_ref = refs
     else:
         (t_ref, i_ref) = refs
         attr_ref = a_ref = None
     rt_step = rays_ref.shape[1]
-    subtiles = rt_step // RAY_TILE
-    rt = RAY_TILE
+    rt = ray_tile
+    subtiles = rt_step // rt
     cs = cluster_size
+    ku = unroll
     i = pl.program_id(0)
 
     for s in range(subtiles):
@@ -368,16 +444,28 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, tri_ref, *refs, cluster_size,
             rows = rays_ref[:, lo:lo + rt]
             o_cols = tuple(rows[k:k + 1, :] for k in (0, 1, 2))
             d_cols = tuple(rows[k:k + 1, :] for k in (4, 5, 6))
+        if per_ray_tmax:
+            t_lim = tmax_ref[:, lo:lo + rt]  # [1, RT] per-ray bound
+        else:
+            t_lim = None if nearest else t_max
 
-        def intersect(c):
+        def intersect(blk):
+            # blk: [rows, KU*CS] (row layouts) or [KU*CS, 12] ("pmtt") —
+            # KU clusters' blocks fused; the intersectors treat the fused
+            # block as one (KU*CS)-triangle cluster (per-triangle entries
+            # land on sublanes either way). The woop layout is
+            # quantity-major PER cluster, so its sub-blocks intersect
+            # separately (still one loop trip; only the matmul splits).
+            if variant == "pmtt":
+                return _pmt_t_tile(o_cols, d_cols, blk, eps, t_lim)
             if variant == "woop":
-                return _woop_tile_t(rays8t, tri_ref[c], cs, eps,
-                                    None if nearest else t_max)
+                return jnp.concatenate(
+                    [_woop_tile_t(rays8t, blk[:, k * 6 * cs:(k + 1) * 6 * cs],
+                                  cs, eps, t_lim)
+                     for k in range(ku)], axis=0)
             if variant == "pmt":
-                return _pmt_tile(o_cols, d_cols, tri_ref[c], eps,
-                                 None if nearest else t_max)
-            return _mt_tile(o_cols, d_cols, tri_ref[c], eps,
-                            None if nearest else t_max)
+                return _pmt_tile(o_cols, d_cols, blk, eps, t_lim)
+            return _mt_tile(o_cols, d_cols, blk, eps, t_lim)
 
         # Overflow fallback: visit lists are sliced to a static width W
         # (launch plumbing). A tile whose TRUE count exceeds W — possible
@@ -391,32 +479,69 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, tri_ref, *refs, cluster_size,
         # the pipeline — and a perfect break could only skip 36% of
         # visits on the teapot frame (48% of tiles contain a miss ray and
         # can never break). The plain counted loop wins.
+        #
+        # UNROLL: each loop trip processes KU visit-list entries as ONE
+        # fused [rows, KU*CS] block — the per-trip fixed cost (scalar
+        # reads, dynamic slices, loop bookkeeping) measured ~3x the pure
+        # VPU cost of a single CS-wide intersection, so amortizing it over
+        # KU clusters is most of a 2x. Out-of-range entries (j >= count)
+        # clamp to the last entry — repeated visits are idempotent for
+        # both the nearest min-reduce and the occlusion min.
         n_total = tri_ref.shape[0]
         width = ids_ref.shape[1]
         n_true = cnt_ref[tile]
         overflow = n_true > width
         trips = jnp.where(overflow, n_total, n_true)
+        trips = (trips + (ku - 1)) // ku
 
-        def cluster_of(j):
-            return jnp.where(overflow, j, ids_ref[tile, jnp.minimum(j, width - 1)])
+        # ids either live in SMEM ([n_tiles, W] scalar-prefetched) or as a
+        # per-step-sliced VMEM operand ([subtiles, W], row = local subtile)
+        # — VMEM scalar reads cost a little latency but lift the SMEM
+        # budget that forced chunked launches at high tile counts.
+        id_row = s if ids_vmem else tile
+
+        def clusters_of(j):
+            out = []
+            for kk in range(ku):
+                jj = j * ku + kk
+                out.append(jnp.where(
+                    overflow,
+                    jnp.minimum(jj, n_total - 1),
+                    ids_ref[id_row, jnp.minimum(jj, width - 1)],
+                ))
+            return out
+
+        tposed = variant == "pmtt"
+
+        def fused(ref, cl):
+            if ku == 1:
+                return ref[cl[0]]
+            return jnp.concatenate([ref[c] for c in cl],
+                                   axis=0 if tposed else 1)
 
         if nearest:
-            sub_slot = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+            sub_slot = jax.lax.broadcasted_iota(jnp.int32, (ku * cs, 1), 0)
+            sub_slot = sub_slot % cs
 
             def body(j, acc):
                 acc_t, acc_s = acc[0], acc[1]
                 acc_a = acc[2:]
-                c = cluster_of(j)
-                t = intersect(c)  # [CS, RT]
-                slot = c * cs + sub_slot  # [CS, 1] packed slot ids
+                cl = clusters_of(j)
+                t = intersect(fused(tri_ref, cl))  # [KU*CS, RT]
+                # packed slot id rows: block kk covers cluster cl[kk]
+                cid = jnp.concatenate(
+                    [jnp.broadcast_to(c * cs, (cs, 1)) for c in cl], axis=0
+                ) if ku > 1 else cl[0] * cs
+                slot = cid + sub_slot  # [KU*CS, 1]
                 better = t < acc_t
                 acc_s = jnp.where(better, slot, acc_s)
                 if n_attrs:
-                    ablk = attr_ref[c]  # [A, CS]
+                    ablk = fused(attr_ref, cl)  # [A, KU*CS] | [KU*CS, A]
                     acc_a = tuple(
                         jnp.where(
                             better,
-                            jnp.reshape(ablk[k:k + 1, :], (cs, 1)),
+                            ablk[:, k:k + 1] if tposed else
+                            jnp.reshape(ablk[k:k + 1, :], (ku * cs, 1)),
                             acc_a[k],
                         )
                         for k in range(n_attrs)
@@ -425,14 +550,18 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, tri_ref, *refs, cluster_size,
                 return (acc_t, acc_s) + acc_a
 
             acc0 = (
-                jnp.full((cs, rt), INF, dtype=jnp.float32),
-                jnp.full((cs, rt), _BIG_ID, dtype=jnp.int32),
+                jnp.full((ku * cs, rt), INF, dtype=jnp.float32),
+                jnp.full((ku * cs, rt), _BIG_ID, dtype=jnp.int32),
             ) + tuple(
-                jnp.zeros((cs, rt), dtype=jnp.float32) for _ in range(n_attrs)
+                jnp.zeros((ku * cs, rt), dtype=jnp.float32)
+                for _ in range(n_attrs)
             )
             acc = jax.lax.fori_loop(0, trips, body, acc0)
             acc_t, acc_s = acc[0], acc[1]
             tmin = jnp.min(acc_t, axis=0, keepdims=True)  # [1, RT]
+            # A clamped (repeated) visit can leave the SAME (t, slot) on
+            # two sublane rows; the min over slots still picks a unique
+            # winner id.
             smin = jnp.min(
                 jnp.where(acc_t == tmin, acc_s, _BIG_ID), axis=0,
                 keepdims=True
@@ -440,24 +569,26 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, tri_ref, *refs, cluster_size,
             t_ref[:, lo:lo + rt] = tmin
             i_ref[:, lo:lo + rt] = smin
             if n_attrs:
-                # Exactly-one winner mask (slots are unique); on miss lanes
-                # every accumulator plane is still its zero init, so the
-                # masked sum correctly emits 0 attributes.
+                # Winner mask: on miss lanes every accumulator plane is
+                # still its zero init, so the masked MAX correctly emits 0
+                # attributes. (max, not sum: a repeated clamped visit can
+                # put the winning (t, slot) on several sublanes, and the
+                # duplicates carry identical attr values.)
                 winner = (acc_t == tmin) & (acc_s == smin)
                 for k in range(n_attrs):
-                    a_ref[k:k + 1, lo:lo + rt] = jnp.sum(
-                        jnp.where(winner, acc[2 + k], 0.0),
-                        axis=0, keepdims=True,
-                    )
+                    a_ref[k:k + 1, lo:lo + rt] = jnp.max(
+                        jnp.where(winner, acc[2 + k], -INF),
+                        axis=0, keepdims=True)
         else:
             # Occlusion: min-accumulate t (misses are +inf, and the t_max
             # cut is already applied inside the intersector) — an f32
             # carry, since Mosaic cannot carry wide i1 vectors through
             # loops.
             def body(j, acc_t):
-                return jnp.minimum(acc_t, intersect(cluster_of(j)))
+                return jnp.minimum(acc_t, intersect(fused(tri_ref,
+                                                          clusters_of(j))))
 
-            acc_t0 = jnp.full((cs, rt), INF, dtype=jnp.float32)
+            acc_t0 = jnp.full((ku * cs, rt), INF, dtype=jnp.float32)
             acc_t = jax.lax.fori_loop(0, trips, body, acc_t0)
             tmin = jnp.min(acc_t, axis=0, keepdims=True)
             t_ref[:, lo:lo + rt] = tmin
@@ -515,55 +646,93 @@ def _pad_rays_soa(rays8):
 # and launches cost ~0.2 ms each — so the budget is set near the ceiling.
 _SMEM_IDS_BUDGET_BYTES = 640 * 1024
 
-def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0):
+def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
+                 tmax_row=None, ray_tile=RAY_TILE, subtiles=SUBTILES,
+                 ids_vmem=False):
     """Launch the walk kernel, chunking ray tiles so the SMEM-resident
     visit lists stay inside budget at any ray count.
     `blocks` is a tuple of whole-array kernel inputs (triangle blocks,
-    optionally attribute blocks). Returns (t, i[, attrs]) as
-    [rows, n_tiles*RAY_TILE] arrays. cnt is passed through UNclamped —
-    the kernel's overflow fallback needs the true count."""
+    optionally attribute blocks). `tmax_row` is an optional [1, N] per-ray
+    t_max row, sliced per grid step like the ray pack. Returns
+    (t, i[, attrs]) as [rows, n_tiles*RAY_TILE] arrays. cnt is passed
+    through UNclamped — the kernel's overflow fallback needs the true
+    count."""
     if ids.shape[1] > _MAX_VISITS:
         ids = ids[:, :_MAX_VISITS]
     n_tiles, c = ids.shape
-    max_tiles = max(SUBTILES,
-                    _SMEM_IDS_BUDGET_BYTES // (4 * c) // SUBTILES * SUBTILES)
+    if ids_vmem:
+        max_tiles = n_tiles  # no SMEM footprint -> no chunking needed
+    else:
+        max_tiles = max(subtiles, _SMEM_IDS_BUDGET_BYTES // (4 * c)
+                        // subtiles * subtiles)
     if n_tiles <= max_tiles:
         return _launch_single(kernel, cnt, ids, rays8, blocks, interpret,
-                              n_attrs)
+                              n_attrs, tmax_row, ray_tile, subtiles,
+                              ids_vmem)
     pad_t = (-n_tiles) % max_tiles
     if pad_t:
         cnt = jnp.concatenate([cnt, jnp.zeros(pad_t, cnt.dtype)])
         ids = jnp.concatenate([ids, jnp.zeros((pad_t, c), ids.dtype)])
         col = jnp.array([0, 0, 0, 1, 0, 0, 1, 0], rays8.dtype)[:, None]
         rays8 = jnp.concatenate(
-            [rays8, jnp.broadcast_to(col, (8, pad_t * RAY_TILE))], axis=1
+            [rays8, jnp.broadcast_to(col, (8, pad_t * ray_tile))], axis=1
         )
+        if tmax_row is not None:
+            tmax_row = jnp.concatenate(
+                [tmax_row, jnp.zeros((1, pad_t * ray_tile),
+                                     tmax_row.dtype)], axis=1)
     k = (n_tiles + pad_t) // max_tiles
-    outs = jax.lax.map(
-        lambda args: _launch_single(kernel, *args, blocks, interpret,
-                                    n_attrs),
-        (
-            cnt.reshape(k, max_tiles),
-            ids.reshape(k, max_tiles, c),
-            rays8.reshape(8, k, max_tiles * RAY_TILE).swapaxes(0, 1),
-        ),
+    mapped = (
+        cnt.reshape(k, max_tiles),
+        ids.reshape(k, max_tiles, c),
+        rays8.reshape(8, k, max_tiles * ray_tile).swapaxes(0, 1),
     )
-    rp = n_tiles * RAY_TILE
+    if tmax_row is not None:
+        mapped = mapped + (
+            tmax_row.reshape(1, k, max_tiles * ray_tile).swapaxes(0, 1),
+        )
+
+        def run(args):
+            return _launch_single(kernel, args[0], args[1], args[2], blocks,
+                                  interpret, n_attrs, args[3], ray_tile,
+                                  subtiles, ids_vmem)
+    else:
+        def run(args):
+            return _launch_single(kernel, args[0], args[1], args[2], blocks,
+                                  interpret, n_attrs, None, ray_tile,
+                                  subtiles, ids_vmem)
+    outs = jax.lax.map(run, mapped)
+    rp = n_tiles * ray_tile
     return tuple(
         o.swapaxes(0, 1).reshape(o.shape[1], -1)[:, :rp] for o in outs
     )
 
 
-def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0):
+def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
+                   tmax_row=None, ray_tile=RAY_TILE, subtiles=SUBTILES,
+                   ids_vmem=False):
     rp = rays8.shape[1]
-    step = RAY_TILE * SUBTILES
+    step = ray_tile * subtiles
     n_steps = rp // step
     out_rows = [1, 1] + ([n_attrs] if n_attrs else [])
     out_dtypes = [jnp.float32, jnp.int32] + ([jnp.float32] if n_attrs else [])
+    sliced = [(rays8, 8)] + ([(tmax_row, 1)] if tmax_row is not None else [])
+    w = ids.shape[1]
+    if ids_vmem:
+        n_prefetch = 1
+        in_specs = [pl.BlockSpec((subtiles, w), lambda i, *_: (i, 0))]
+        operands = (cnt, ids)
+    else:
+        n_prefetch = 2
+        in_specs = []
+        operands = (cnt, ids)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=n_prefetch,
         grid=(n_steps,),
-        in_specs=[pl.BlockSpec((8, step), lambda i, *_: (0, i))] + [
+        in_specs=in_specs + [
+            pl.BlockSpec((rows, step), lambda i, *_: (0, i))
+            for _, rows in sliced
+        ] + [
             pl.BlockSpec(b.shape, lambda i, *_, nd=b.ndim: (0,) * nd)
             for b in blocks
         ],
@@ -586,7 +755,7 @@ def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0):
         # in _walk_groups caps them at _PALLAS_BLOCK_BUDGET_BYTES).
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(cnt, ids, rays8, *blocks)
+    )(*operands, *[a for a, _ in sliced], *blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -618,14 +787,17 @@ def _lazy_t_bwd(res, g):
 
     _, vjp = jax.vjp(t_math, va, vb, vc, o, d)
     dva, dvb, dvc, do, dd = vjp(jnp.where(hit, g, 0.0))
-    # Scatter per-corner gradients into the vertex pool; dead lanes go
-    # out-of-bounds and drop (all-miss lanes otherwise pile conflict-
-    # serialized zero-adds onto triangle 0's vertices).
+    # Accumulate per-corner gradients into the vertex pool with ONE
+    # sort-based segment reduction over all 3 corners (ops/scatter.py —
+    # the serial `.at[].add` was most of backward's cost). Dead lanes
+    # target the drop bucket n_v.
+    from raytracing_tpu.ops.scatter import segment_scatter_add
+
     n_v = verts.shape[0]
-    dverts = jnp.zeros_like(verts)
-    for k, dvk in enumerate((dva, dvb, dvc)):
-        tvk = jnp.where(hit, tvs[:, k], n_v)
-        dverts = dverts.at[tvk].add(dvk, mode="drop")
+    tv_all = jnp.concatenate(
+        [jnp.where(hit, tvs[:, k], n_v) for k in range(3)])
+    dv_all = jnp.concatenate([dva, dvb, dvc], axis=0)
+    dverts = segment_scatter_add(n_v, tv_all, dv_all).astype(verts.dtype)
     return dverts, do, dd, None, None, None, None
 
 
@@ -657,14 +829,20 @@ def _lazy_attrs_bwd(res, g):
     # their (zero) contributions into a shared row 0 serializes the
     # scatter on that row's conflicts, and most bounce-level lanes are
     # dead.
+    from raytracing_tpu.ops.scatter import segment_scatter_add
+
     t_rows = normals.shape[0]
     idv = jnp.where(hit, order[jnp.where(hit, slot, 0)], t_rows)
     gm = jnp.where(hit[:, None], g, 0.0)
     obj = jnp.where(hit, obj_id[jnp.where(hit, idv, 0)],
                     materials.shape[0])
-    dn = jnp.zeros_like(normals).at[idv].add(gm[:, 0:3], mode="drop")
-    dc = jnp.zeros_like(colors).at[idv].add(gm[:, 3:6], mode="drop")
-    dm = jnp.zeros_like(materials).at[obj].add(gm[:, 6:9], mode="drop")
+    # dn and dc share the index vector — one sorted reduction covers both
+    # 6 columns; dm reduces separately over the (tiny) object id space.
+    dnc = segment_scatter_add(t_rows, idv, gm[:, 0:6])
+    dn = dnc[:, 0:3].astype(normals.dtype)
+    dc = dnc[:, 3:6].astype(colors.dtype)
+    dm = segment_scatter_add(materials.shape[0], obj,
+                             gm[:, 6:9]).astype(materials.dtype)
     return dn, dc, dm, None, None, None, None, None
 
 
@@ -688,41 +866,51 @@ def _vmem_group_clusters(accel: ClusterAccel, variant: str,
         return 4 * (-(-s[1] // 8) * 8) * (-(-s[2] // 128) * 128)
 
     blocks = {"woop": accel.woop_blocks,
-              "pmt": accel.pmt_blocks}.get(variant, accel.tri_blocks)
+              "pmt": accel.pmt_blocks,
+              "pmtt": accel.pmt_t_blocks}.get(variant, accel.tri_blocks)
     b = per_cluster(blocks)
     if n_attrs:
-        b += per_cluster(accel.attr_blocks)
+        b += per_cluster(accel.attr_t_blocks if variant == "pmtt"
+                         else accel.attr_blocks)
     return max(256, _PALLAS_BLOCK_BUDGET_BYTES // b)
 
 
 def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
-                 n_attrs):
+                 n_attrs, tmax_row=None):
     """Phase 1-3 over the cluster set, split into VMEM-sized groups when
     the scene's kernel blocks exceed the resident budget (the >VMEM path:
     each group is one ordinary resident-block walk; per-ray results merge
     by elementwise nearest — rays are independent, so grouping is exact).
+    tmax_row: optional [1, rp] per-ray t_max (occlusion queries only).
     Returns (t [1, rp], slot [1, rp] global packed ids, attrs | None) for
     nearest queries; (t, occ, None) for occlusion queries."""
     cs = accel.cluster_size
     c_total = accel.num_clusters
     gsz = _vmem_group_clusters(accel, variant, n_attrs)
     all_blocks = {"woop": accel.woop_blocks,
-                  "pmt": accel.pmt_blocks}.get(variant, accel.tri_blocks)
+                  "pmt": accel.pmt_blocks,
+                  "pmtt": accel.pmt_t_blocks}.get(variant, accel.tri_blocks)
+    all_attrs = (accel.attr_t_blocks if variant == "pmtt"
+                 else accel.attr_blocks)
     kern = functools.partial(
         _walk_kernel, cluster_size=cs, eps=eps, variant=variant,
         nearest=nearest, t_max=t_max, n_attrs=n_attrs,
+        unroll=VISIT_UNROLL, per_ray_tmax=tmax_row is not None,
+        ray_tile=RAY_TILE, ids_vmem=IDS_VMEM,
     )
     best = None
     for lo in range(0, c_total, gsz):
         hi = min(lo + gsz, c_total)
         ids, _, cnt = _tile_visit_lists_soa(
             rp, accel.cluster_min[lo:hi], accel.cluster_max[lo:hi],
-            RAY_TILE)
+            RAY_TILE, interpret=interpret)
         blocks = (all_blocks[lo:hi],)
         if n_attrs:
-            blocks = blocks + (accel.attr_blocks[lo:hi],)
+            blocks = blocks + (all_attrs[lo:hi],)
         out = _launch_walk(kern, cnt, ids, rp, blocks, interpret,
-                           n_attrs=n_attrs)
+                           n_attrs=n_attrs, tmax_row=tmax_row,
+                           ray_tile=RAY_TILE, subtiles=SUBTILES,
+                           ids_vmem=IDS_VMEM)
         if nearest:
             t_g, s_g = out[0], out[1] + lo * cs
             a_g = out[2] if n_attrs else None
@@ -740,6 +928,61 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
         else:
             best = (jnp.minimum(best[0], t_g), best[1] | s_g, None)
     return best
+
+
+# ---------------------------------------------------------------------------
+# Rest-set merge (dense XLA pass over the small rest triangles)
+# ---------------------------------------------------------------------------
+
+
+def _rest_soa(accel):
+    rb = accel.rest_blocks
+    return TriangleSoA(v0=rb[:, 0:3], e1=rb[:, 3:6], e2=rb[:, 6:9])
+
+
+def _merge_rest_nearest(accel, rays8, t, slot, attrs, eps, n_attrs):
+    """Fold the rest set (ClusterAccel.rest_blocks — small objects handled
+    densely, the reference's rest_tri tail loop, opt.rs:69-72) into the
+    kernel's per-ray nearest results. t/slot/attrs are [1|A, N] rows; the
+    winning rest triangle's attr row is reconstructed by a masked sum over
+    the (static, small) Rr — cost scales with Rr, which the build caps."""
+    if accel.rest_blocks is None:
+        return t, slot, attrs
+    o = rays8[0:3, :].T
+    d = rays8[4:7, :].T
+    tri = _rest_soa(accel)
+    rr = tri.v0.shape[0]
+    # Gather-free dense pass: [N, Rr] intersection, min + argmin reduces
+    # only (nearest_hit_brute's per-block take_along_axis is an N-sized
+    # serial gather — measured ~20 ms/pass at 2.56 M rays).
+    t_r, _ = moller_trumbore(o[:, None, :], d[:, None, :], tri,
+                             INF, eps)  # [N, Rr]
+    tmin = jnp.min(t_r, axis=1)          # [N]
+    jarg = jnp.argmin(t_r, axis=1).astype(jnp.int32)
+    better = (tmin < t[0])[None, :]      # [1, N]
+    s_total = accel.order.shape[0]
+    t = jnp.minimum(t, tmin[None, :])
+    slot = jnp.where(better, s_total + jarg[None, :], slot)
+    if n_attrs:
+        row = jnp.zeros((n_attrs, t.shape[1]), dtype=t.dtype)
+        for j in range(rr):
+            row = jnp.where((jarg == j)[None, :],
+                            accel.rest_attrs[j][:, None], row)
+        attrs = jnp.where(better, row, attrs)
+    return t, slot, attrs
+
+
+def _merge_rest_occlusion(accel, rays8, occ, eps, t_max, tmax_arr=None):
+    if accel.rest_blocks is None:
+        return occ
+    from raytracing_tpu.ops.trace import any_hit_brute
+
+    o = rays8[0:3, :].T
+    d = rays8[4:7, :].T
+    tri = _rest_soa(accel)
+    tm = tmax_arr if tmax_arr is not None else t_max
+    occ_r = any_hit_brute(tri, o, d, tm, eps, block=max(8, tri.v0.shape[0]))
+    return occ | occ_r
 
 
 # ---------------------------------------------------------------------------
@@ -764,15 +1007,17 @@ def nearest_hit_soa(
     rp, r = _pad_rays_soa(rays8)
     t_k, slot, _ = _walk_groups(accel, rp, eps, interpret, variant,
                                 nearest=True, t_max=float("inf"), n_attrs=0)
+    t_k, slot, _ = _merge_rest_nearest(accel, rp, t_k, slot, None, eps, 0)
     t_k = t_k[0, :r]
     slot = slot[0, :r]
-    # The kernel emits packed slot ids (cluster * CS + sublane); resolve to
-    # original triangle ids with one gather, 0 on miss (Hit contract).
+    # The kernel emits packed slot ids (cluster * CS + sublane, rest slots
+    # beyond); resolve to original triangle ids with one gather, 0 on miss
+    # (Hit contract).
     # NOTE this gather is EXPENSIVE on TPU (~19.5 ms at 2.56 M rays); hot
     # paths that only need shading data should use nearest_hit_attrs_soa,
     # which never leaves packed-slot space.
     hit = jnp.isfinite(t_k)
-    tri_id = jnp.where(hit, accel.order[jnp.where(hit, slot, 0)], 0)
+    tri_id = jnp.where(hit, accel.order_ext[jnp.where(hit, slot, 0)], 0)
     return t_k, tri_id
 
 
@@ -796,6 +1041,8 @@ def nearest_hit_attrs_soa(
     t_k, slot, attrs = _walk_groups(accel, rp, eps, interpret, variant,
                                     nearest=True, t_max=float("inf"),
                                     n_attrs=n_attrs)
+    t_k, slot, attrs = _merge_rest_nearest(accel, rp, t_k, slot, attrs,
+                                           eps, n_attrs)
     return t_k[0, :r], slot[0, :r], attrs[:, :r]
 
 
@@ -803,18 +1050,41 @@ def any_hit_soa(
     accel: ClusterAccel,
     rays8: jnp.ndarray,
     eps: float = 1e-8,
-    t_max: float = float("inf"),
+    t_max=float("inf"),
     interpret: bool | None = None,
     variant: str = DEFAULT_VARIANT,
 ) -> jnp.ndarray:
-    """Raw kernel occlusion query over the SoA ray pack [8, N]."""
+    """Raw kernel occlusion query over the SoA ray pack [8, N]. t_max may
+    be a python float (uniform bound) or a [N] array (per-ray bound — the
+    area-light visibility case: each shadow sample stops at its own light-
+    surface distance, main.rs:176-241's `length` analog)."""
     if interpret is None:
         interpret = not _on_tpu()
     rays8 = jax.lax.stop_gradient(rays8)
+    tmax_row = None
+    if not isinstance(t_max, (int, float)):
+        t_max = jax.lax.stop_gradient(jnp.asarray(t_max))
+        if t_max.ndim:
+            # Sanitize: +inf entries become a huge finite bound so kernel
+            # arithmetic (0 * inf in the Woop matmul path) can't NaN.
+            row = jnp.where(jnp.isfinite(t_max), t_max, 3e38)
+            tmax_row = row.astype(rays8.dtype)[None, :]
+            pad = (-rays8.shape[1]) % (RAY_TILE * SUBTILES)
+            if pad:
+                tmax_row = jnp.concatenate(
+                    [tmax_row, jnp.zeros((1, pad), tmax_row.dtype)], axis=1)
+            t_max = float("inf")
+        else:
+            t_max = float(t_max)
     rp, r = _pad_rays_soa(rays8)
     _, occ, _ = _walk_groups(accel, rp, eps, interpret, variant,
-                             nearest=False, t_max=t_max, n_attrs=0)
-    return occ[0, :r] != 0
+                             nearest=False, t_max=t_max, n_attrs=0,
+                             tmax_row=tmax_row)
+    occ_b = occ[0] != 0
+    occ_b = _merge_rest_occlusion(
+        accel, rp, occ_b, eps, t_max,
+        tmax_arr=tmax_row[0] if tmax_row is not None else None)
+    return occ_b[:r]
 
 
 def nearest_hit_pallas(
@@ -869,20 +1139,21 @@ def nearest_hit_shaded(
     if accel.attr_tables is not None:
         # objid mode: kernel planes are normal(3) | obj_id. Reconstruct
         # color+material EXACTLY with a select chain over the (static,
-        # small) object count — elementwise ops, no gather. Miss lanes
-        # (obj_id plane 0) resolve to object 0's row, matching what the
-        # full mode's gather-equivalent produces for its tri-id-0 default.
+        # small) object count — elementwise ops, no gather. Miss lanes are
+        # zeroed afterwards to honor the "all 0 on miss" attrs contract
+        # (obj_id plane 0 would otherwise resolve them to object 0's row).
         obj = attrs_k[3].astype(jnp.int32)  # [N]
         tbl = accel.attr_tables  # [O, 6]
         rest = jnp.zeros((6, obj.shape[0]), dtype=attrs_k.dtype)
         for k in range(tbl.shape[0]):
             rest = jnp.where(obj[None, :] == k, tbl[k][:, None], rest)
+        rest = jnp.where(hit[None, :], rest, 0.0)
         attrs_k = jnp.concatenate([attrs_k[:3], rest], axis=0)
     # Packed triangle table: an S-sized (scene-sized, not ray-sized) gather.
-    tv_packed = sg(mesh.tri_v)[sg(accel.order)]
+    tv_packed = sg(mesh.tri_v)[sg(accel.order_ext)]
     t = _lazy_t(mesh.verts, o, d, tv_packed, slot_safe, hit, t_k)
     attrs = _lazy_attrs(mesh.normals, mesh.colors, mesh.materials,
-                        accel.order, sg(mesh.obj_id), slot_safe, hit,
+                        accel.order_ext, sg(mesh.obj_id), slot_safe, hit,
                         attrs_k.T)
     return Hit(t=t, tri=slot_safe, hit=hit), attrs
 

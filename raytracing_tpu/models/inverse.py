@@ -22,7 +22,13 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from raytracing_tpu.accel.packets import ClusterAccel, build_cluster_accel
+import numpy as np
+
+from raytracing_tpu.accel.packets import (
+    ClusterAccel,
+    build_cluster_accel,
+    refit_attr_planes,
+)
 from raytracing_tpu.config import RenderConfig
 from raytracing_tpu.geometry.mesh import Mesh, Scene
 from raytracing_tpu.geometry.transform import apply_pose
@@ -58,14 +64,33 @@ def fit(
     optimizer: Optional[optax.GradientTransformation] = None,
     key: Optional[jax.Array] = None,
     callback: Optional[Callable[[int, float], None]] = None,
+    rebuild_every: int = 0,
 ) -> FitResult:
     """Stochastic inverse rendering: every step samples a random batch of
     primary rays, renders them with the current parameters, and descends the
-    L2 loss against the target image's corresponding pixels."""
+    L2 loss against the target image's corresponding pixels.
+
+    Accel freshness: when an accel is given, its attribute planes are
+    refit from the live parameters INSIDE every step (device-side, cheap),
+    so color/material/normal edits shade correctly on the pallas backend.
+    Geometry (verts/pose) additionally goes stale in the accel's BOUNDS
+    and triangle blocks; set rebuild_every=k (>0) to host-rebuild the
+    structure every k steps when fitting geometry with an accel backend
+    (the standard refit contract, see ClusterAccel)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     opt = optimizer or optax.adam(learning_rate)
     opt_state = opt.init(params)
+
+    refits_attrs = accel is not None and bool(
+        {"colors", "materials", "verts", "pose"} & set(params))
+    geo_params = bool({"verts", "pose"} & set(params))
+    first_tri = None
+    if refits_attrs and accel.attr_tables is not None:
+        obj_id = np.asarray(scene.mesh.obj_id)
+        ft = np.searchsorted(np.sort(obj_id),
+                             np.arange(accel.attr_tables.shape[0]))
+        first_tri = np.argsort(obj_id, kind="stable")[ft]
 
     o_all, d_all = camera_rays(config)
     spp, h, w = o_all.shape[:3]
@@ -76,14 +101,17 @@ def fit(
                                 (spp, h * w, 3)).reshape(-1, 3)
 
     @jax.jit
-    def step_fn(params, opt_state, key_s):
+    def step_fn(params, opt_state, key_s, accel_s):
         k_sel, k_render = jax.random.split(key_s)
         idx = jax.random.randint(k_sel, (rays_per_step,), 0, o_all.shape[0])
         o, d, tgt = o_all[idx], d_all[idx], tgt_flat[idx]
 
         def loss_fn(p):
             mesh = apply_params(scene.mesh, p, pose_obj)
-            rgb = render_rays(mesh, accel, scene.sun, o, d, k_render, config)
+            acc = accel_s
+            if refits_attrs:
+                acc = refit_attr_planes(acc, mesh, first_tri)
+            rgb = render_rays(mesh, acc, scene.sun, o, d, k_render, config)
             return jnp.mean((rgb - tgt) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -92,8 +120,15 @@ def fit(
 
     losses = []
     for i in range(steps):
+        if (accel is not None and geo_params and rebuild_every > 0
+                and i > 0 and i % rebuild_every == 0):
+            mesh_i = apply_params(
+                scene.mesh,
+                {k: jax.lax.stop_gradient(v) for k, v in params.items()},
+                pose_obj)
+            accel = build_cluster_accel(mesh_i, accel.cluster_size)
         key, ks = jax.random.split(key)
-        params, opt_state, loss = step_fn(params, opt_state, ks)
+        params, opt_state, loss = step_fn(params, opt_state, ks, accel)
         losses.append(float(loss))
         if callback:
             callback(i, losses[-1])

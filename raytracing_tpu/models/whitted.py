@@ -97,7 +97,7 @@ def shade(
         # Geometric normals need the vertex gathers regardless (they depend
         # on live verts for autodiff). With kernel attrs (pallas fast
         # path), idx is a packed slot — resolve through accel.order first.
-        tri_ids = accel.order[idx] if idx_is_slot else idx
+        tri_ids = accel.order_ext[idx] if idx_is_slot else idx
         tv = mesh.tri_v[tri_ids]
         n = triangle_normal(
             mesh.verts[tv[:, 0]], mesh.verts[tv[:, 1]], mesh.verts[tv[:, 2]]
@@ -114,20 +114,14 @@ def shade(
     # Shadow rays only matter where they can change the result; mark the
     # rest dead (miss lanes and backfacing hits) — the wavefront carries
     # them at static shape, but accelerated backends cull dead lanes from
-    # their tile decisions and all-dead tiles trace for free. The query is
-    # BINNED by hit position: one parent tile's hit points can straddle
-    # surfaces tens of units apart (teapot silhouette + ground behind it),
-    # and a mixed tile's frustum covers everything in between.
+    # their tile decisions and all-dead tiles trace for free. The query
+    # runs in the CALLER's ray order: bounce levels arrive pre-sorted by
+    # (origin cell, direction cone) from render_rays' per-level bin, and
+    # the sun direction is near-uniform, so a separate shadow re-bin costs
+    # a full payload sort to save only the depth-straddle visits — a/b
+    # measured slower on the teapot frame.
     sh_alive = hit.hit & facing
-    if config.backend == "pallas" and accel is not None and config.bin_secondary:
-        lo, hi = scene_bounds(accel)
-        k = bin_key(pos, sun_dir, lo, hi, sh_alive)
-        sidx, (pos_s, dir_s, alive_s) = bin_sort(k, pos, sun_dir, sh_alive)
-        occ_s = any_hit(mesh, accel, pos_s, dir_s, config, alive=alive_s)
-        (occluded,) = unsort(sidx, occ_s)
-    else:
-        occluded = any_hit(mesh, accel, pos, sun_dir, config,
-                           alive=sh_alive)
+    occluded = any_hit(mesh, accel, pos, sun_dir, config, alive=sh_alive)
     lit = hit.hit & facing & ~occluded
     direct = jnp.where(
         lit[:, None], color * (ndl * albedo_pi)[:, None], 0.0
@@ -152,13 +146,14 @@ def area_light_term(
     Per light: uniform solid-angle cone sampling (ops/sampling.sample_cone)
     with config.light_samples visibility rays each; the estimator is
     mean(emission * cos_theta * V) * cone_solid_angle * albedo/pi * color.
-    Visibility uses a nearest-hit compared against the ray-sphere distance
-    to the light surface (per-ray t_max). Differentiable w.r.t. light
-    center/radius/emission and the shading inputs; visibility stays
+    Visibility is a true any-hit query bounded per ray by the ray-sphere
+    distance to the light surface (the walk kernel's per-ray t_max row) —
+    occluders beyond the light never count, and the query early-outs like
+    the reference's shadow walk (main.rs:176-234). Differentiable w.r.t.
+    light center/radius/emission and the shading inputs; visibility stays
     detached like every traversal decision."""
     from raytracing_tpu.ops.intersect import ray_sphere
     from raytracing_tpu.ops.sampling import sample_cone
-    from raytracing_tpu.tracer import nearest_hit as _nearest
 
     pos, n = sh.pos, sh.n
     total = jnp.zeros_like(pos)
@@ -181,20 +176,16 @@ def area_light_term(
             alive = hit_mask & (ndl > 0.0)
             # Distance to the light surface along the sample direction —
             # the per-ray shadow t_max.
+            # Grazing cone-edge samples can numerically miss the sphere;
+            # fall back to the center distance as t_max instead of inf so
+            # far-beyond-the-light geometry can't darken penumbra edges.
             t_light, l_hit = ray_sphere(pos, w_dir, c, rad, jnp.inf)
-            t_light = jnp.where(l_hit, t_light, jnp.inf)
-            if (config.backend == "pallas" and accel is not None
-                    and config.bin_secondary):
-                lo_, hi_ = scene_bounds(accel)
-                k2 = bin_key(pos, w_dir, lo_, hi_, alive)
-                sidx, (p_s, w_s, a_s, tl_s) = bin_sort(k2, pos, w_dir,
-                                                       alive, t_light)
-                hb = _nearest(mesh, accel, p_s, w_s, config, alive=a_s)
-                occ_s = hb.hit & (hb.t < tl_s * (1.0 - 1e-4))
-                (occluded,) = unsort(sidx, occ_s)
-            else:
-                hb = _nearest(mesh, accel, pos, w_dir, config, alive=alive)
-                occluded = hb.hit & (hb.t < t_light * (1.0 - 1e-4))
+            t_light = jnp.where(l_hit, t_light, dist)
+            # Runs in the caller's (level-sorted) ray order — see the
+            # shadow-query note in `shade`.
+            t_stop = t_light * (1.0 - 1e-4)
+            occluded = any_hit(mesh, accel, pos, w_dir, config,
+                               t_max=t_stop, alive=alive)
             vis = alive & ~occluded
             acc = acc + jnp.where(vis, jnp.maximum(ndl, 0.0), 0.0)
         radiance = (acc / config.light_samples * omega)[:, None] * em[None, :]
@@ -219,37 +210,28 @@ def render_rays(
     sky = jnp.asarray(config.sky_color, dtype=o.dtype)
 
     # ---- forward sweep: trace + shade each level, spawn children --------
+    # Sort discipline: bounce level l is re-binned ONCE by (origin cell,
+    # direction cone) and then LIVES in that sorted frame — trace, sun
+    # shadow, area lights, and child spawning all run sorted (children
+    # therefore arrive origin-coherent at level l+1 before their own bin).
+    # Only the level's 3-column radiance is unsorted, during the backward
+    # sweep, to hand contributions back in the parent's frame. The
+    # previous design paid 4 payload sorts (~15 arrays) per level; this
+    # pays 2 (4 arrays).
     levels = []
     o_l, d_l = o, d
     alive_l = None  # primary rays are all alive
     for depth in range(1, max_depth + 1):
         n_l = o_l.shape[0]
+        sidx = None
         if (depth > 1 and config.backend == "pallas" and accel is not None
                 and config.bin_secondary):
-            # Bounce levels inherit parent order; re-bin by (origin cell,
-            # direction cone) so ray tiles stay cullable, then move the
-            # per-ray outputs back to parent order for the radiance sweep.
-            # Both moves are single variadic payload sorts (bin_sort) —
-            # per-array permutation gathers are serial on TPU and were
-            # ~half the cost of a bounce level.
             lo_, hi_ = scene_bounds(accel)
             k = bin_key(o_l, d_l, lo_, hi_, alive_l)
-            sidx, (o_s, d_s, alive_s) = bin_sort(k, o_l, d_l, alive_l)
-            h, attrs = nearest_hit_shaded(mesh, accel, o_s, d_s, config,
-                                          alive=alive_s)
-            sh = shade(mesh, accel, sun, o_s, d_s, h, config, attrs=attrs)
-            (hit_u, direct_u, n_u, pos_u, color_u, refl_u, rough_u,
-             alb_u) = unsort(
-                sidx, h.hit, sh.direct, sh.n, sh.pos, sh.color, sh.refl,
-                sh.rough, sh.albedo_pi,
-            )
-            h = Hit(t=h.t, tri=h.tri, hit=hit_u)  # t/tri unused downstream
-            sh = Shaded(direct=direct_u, n=n_u, pos=pos_u, color=color_u,
-                        refl=refl_u, rough=rough_u, albedo_pi=alb_u)
-        else:
-            h, attrs = nearest_hit_shaded(mesh, accel, o_l, d_l, config,
-                                          alive=alive_l)
-            sh = shade(mesh, accel, sun, o_l, d_l, h, config, attrs=attrs)
+            sidx, (o_l, d_l, alive_l) = bin_sort(k, o_l, d_l, alive_l)
+        h, attrs = nearest_hit_shaded(mesh, accel, o_l, d_l, config,
+                                      alive=alive_l)
+        sh = shade(mesh, accel, sun, o_l, d_l, h, config, attrs=attrs)
         direct = sh.direct
         if lights is not None:
             kl = jax.random.fold_in(key, 7777 + depth)
@@ -259,7 +241,7 @@ def render_rays(
         has_r = depth < config.reflect_depth
         has_d = depth < config.diffuse_depth
         info = {"hit": h.hit, "direct": direct, "has_r": has_r,
-                "has_d": has_d, "n_rays": n_l}
+                "has_d": has_d, "n_rays": n_l, "sidx": sidx}
         if has_r or has_d:
             parts_o, parts_d, parts_a = [], [], []
             if has_r:
@@ -289,7 +271,9 @@ def render_rays(
         levels.append(info)
 
     # ---- backward sweep: accumulate radiance bottom-up ------------------
-    rad = None  # radiance of the (children of the) level below
+    # `rad` always arrives in the SPAWN order of the level below (its
+    # unsort undoes its bin), which is exactly this level's sorted frame.
+    rad = None
     for info in reversed(levels):
         n_l = info["n_rays"]
         contrib = info["direct"]
@@ -301,6 +285,8 @@ def render_rays(
             rd = rad[off:].reshape(s, n_l, 3)
             contrib = contrib + jnp.mean(info["w_diff"] * rd, axis=0)
         rad = jnp.where(info["hit"][:, None], contrib, sky)
+        if info["sidx"] is not None:
+            (rad,) = unsort(info["sidx"], rad)
 
     return gamma_correct(rad, config.gamma)
 

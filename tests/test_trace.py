@@ -93,8 +93,13 @@ def test_accel_structure_invariants():
     order = np.asarray(accel.order)
     valid = np.asarray(accel.slot_valid)
     assert order.shape[0] % 128 == 0
-    # Every real triangle appears exactly once.
-    real = np.sort(order[valid])
+    # Every real triangle appears exactly once — across the clustered
+    # slots and the dense rest set (small objects, e.g. the 2-triangle
+    # ground plane) together.
+    parts = [order[valid]]
+    if accel.rest_ids is not None:
+        parts.append(np.asarray(accel.rest_ids))
+    real = np.sort(np.concatenate(parts))
     np.testing.assert_array_equal(real, np.arange(mesh.num_triangles))
     # Cluster AABBs contain their member triangles' vertices.
     tri = packed_triangles(mesh, accel)
@@ -107,3 +112,33 @@ def test_accel_structure_invariants():
     # Padding slots are degenerate.
     e1 = np.asarray(tri.e1)
     assert (np.abs(e1[~valid]) == 0).all()
+
+
+def test_rest_set_extraction():
+    # The ground plane (2 tris, object 2) must land in the rest set, and
+    # both engines must still report hits on it with original ids.
+    mesh = build_default_mesh()
+    accel = build_cluster_accel(mesh, cluster_size=16)
+    assert accel.rest_ids is not None
+    rest = np.asarray(accel.rest_ids)
+    obj = np.asarray(mesh.obj_id)
+    assert (obj[rest] == 2).all() and rest.shape[0] == 2
+    # A straight-down ray hits only the ground.
+    o = jnp.array([[6.0, 5.0, 12.0]])
+    d = jnp.array([[0.0, -1.0, 0.0]])
+    hc = nearest_hit_cluster(mesh, accel, o, d)
+    tri = triangle_soa(mesh.verts, mesh.tri_v)
+    hb = nearest_hit_brute(tri, o, d)
+    assert bool(hc.hit[0]) and int(hc.tri[0]) == int(hb.tri[0])
+    np.testing.assert_allclose(float(hc.t[0]), float(hb.t[0]), rtol=1e-6)
+    # Pallas path (interpret): same hit and matching shading attrs.
+    from raytracing_tpu.kernels.traverse import (
+        nearest_hit_shaded,
+        rays_to_soa,
+    )
+    h, attrs = nearest_hit_shaded(mesh, accel, o, d, interpret=True)
+    assert bool(h.hit[0])
+    np.testing.assert_allclose(float(h.t[0]), float(hb.t[0]), rtol=1e-6)
+    a = np.asarray(attrs)[0]
+    np.testing.assert_allclose(a[0:3], np.asarray(mesh.normals)[rest[0]],
+                               atol=1e-6)
