@@ -54,14 +54,28 @@ class RenderConfig:
     # mesh (reference behaviour, `objects.rs:206-220`) or recomputed
     # differentiably from vertices ("geometric") so gradients flow to verts.
     normals: str = "stored"
-    # Re-sort secondary (shadow/bounce) rays by (origin cell, direction
-    # cone) before tracing so culling tiles stay coherent (pallas backend
+    # Re-sort secondary (bounce) rays by (origin cell, direction cone)
+    # before tracing so culling tiles stay coherent (pallas backend
     # only). Order-invisible semantically; a pure performance knob.
     bin_secondary: bool = True
+    # Additionally re-sort each level's SHADOW rays by hit position: GI
+    # hit points scatter across the scene, so the level's bounce-sorted
+    # order leaves shadow tiles with ballooned frustums. Pays one extra
+    # payload sort + unsort per level (pallas backend only).
+    bin_shadow: bool = True
     # Visibility samples per spherical area light per shading point (only
     # used when the scene carries lights; see models/whitted.
     # area_light_term). More samples -> smoother penumbras.
     light_samples: int = 4
+    # Two-phase cap for incoherent (bounce-level) nearest queries as a
+    # fraction of the clustered-scene diagonal: phase 1 traces with tile
+    # frustums truncated at cap, phase 2 retraces only the escaping
+    # survivors. Exact either way; a pure performance knob (pallas
+    # backend only). Default OFF: on the teapot frame the survivors don't
+    # compact into free tiles and the second pass costs more than the
+    # first saves — the coarse-cell/fine-cone bounce binning
+    # (binning.bounce_bin_key) is what actually tames GI tiles there.
+    gi_cap_frac: float = 0.0
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

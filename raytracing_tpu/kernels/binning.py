@@ -66,6 +66,27 @@ def direction_bin(d: jnp.ndarray) -> jnp.ndarray:
     return oct_ * 2 + dom_z
 
 
+def fine_direction_bin(d: jnp.ndarray, ratio_bits: int = 2) -> jnp.ndarray:
+    """8 * 4^ratio_bits cones: sign octant (3 bits) + the two
+    |component|/|max| ratios quantized to ratio_bits each. For
+    hemispherically divergent (GI) wavefronts the direction interval is
+    what blows up a tile's frustum, so cone fineness — not position
+    fineness — is the discriminating half of the bin key (measured 3.3x
+    on the teapot GI level together with COARSE 8^3 position cells, which
+    buy the ray density that makes fine cones fill whole tiles)."""
+    ax = jnp.abs(d)
+    m = jnp.maximum(jnp.max(ax, axis=1), 1e-9)
+    q = 2 ** ratio_bits
+    r0 = jnp.clip((ax[:, 0] / m * q).astype(jnp.int32), 0, q - 1)
+    r1 = jnp.clip((ax[:, 1] / m * q).astype(jnp.int32), 0, q - 1)
+    oct_ = (
+        (d[:, 0] > 0).astype(jnp.int32) * 4
+        + (d[:, 1] > 0).astype(jnp.int32) * 2
+        + (d[:, 2] > 0).astype(jnp.int32)
+    )
+    return (oct_ << (2 * ratio_bits)) | (r0 << ratio_bits) | r1
+
+
 def ray_bin_order(
     o: jnp.ndarray,
     d: jnp.ndarray,
@@ -87,13 +108,32 @@ def ray_bin_order(
     return order, inv
 
 
-def bin_key(o, d, lo, hi, alive=None) -> jnp.ndarray:
-    """(origin Morton cell << DIR_BITS) | direction cone; dead lanes get a
-    key above every live key so they compact to the end."""
-    key = (morton3(o, lo, hi) << DIR_BITS) | direction_bin(d)
+def bin_key(o, d, lo, hi, alive=None, pos_bits: int = POS_BITS,
+            dir_ratio_bits: int = 0) -> jnp.ndarray:
+    """(origin Morton cell << dir bits) | direction cone; dead lanes get a
+    key above every live key so they compact to the end.
+
+    Two regimes (measured on the teapot frame):
+      shadow rays (near-uniform direction): default fine position cells +
+        16 cones — thin beams;
+      GI/bounce rays (hemispherical): pos_bits=3, dir_ratio_bits=2 —
+        coarse cells for per-bin ray density, 128 fine cones to pin the
+        frustum's direction interval (see bounce_bin_key)."""
+    if dir_ratio_bits > 0:
+        db = fine_direction_bin(d, dir_ratio_bits)
+        shift = 3 + 2 * dir_ratio_bits
+    else:
+        db = direction_bin(d)
+        shift = DIR_BITS
+    key = (morton3(o, lo, hi, bits=pos_bits) << shift) | db
     if alive is not None:
         key = jnp.where(alive, key, jnp.int32(1) << 30)
     return key
+
+
+def bounce_bin_key(o, d, lo, hi, alive=None) -> jnp.ndarray:
+    """The GI-regime key: coarse 8^3 position cells x 128 cones."""
+    return bin_key(o, d, lo, hi, alive, pos_bits=3, dir_ratio_bits=2)
 
 
 def bin_sort(key: jnp.ndarray, *payloads):

@@ -167,7 +167,7 @@ def _tile_extents_pallas(rays8, rt, interpret):
 
 
 def _tile_visit_lists_soa(rays8, cluster_min, cluster_max, rt,
-                          interpret=False):
+                          interpret=False, t_cap=None):
     """Visit lists from the SoA ray pack [8, N] (rows ox oy oz 1 dx dy dz
     ALIVE). The per-tile frustum is computed over ALIVE lanes only (row 7
     != 0): dead lanes — padding, children of miss parents, zero-weight
@@ -179,14 +179,15 @@ def _tile_visit_lists_soa(rays8, cluster_min, cluster_max, rt,
     o_lo, o_hi = lo[:, 0:3], hi[:, 0:3]
     d_lo, d_hi = lo[:, 4:7], hi[:, 4:7]
     ids, tnear, cnt = _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi,
-                                                cluster_min, cluster_max)
+                                                cluster_min, cluster_max,
+                                                t_cap=t_cap)
     tile_alive = hi[:, 7] > 0.0
     cnt = jnp.where(tile_alive, cnt, 0)
     return ids, tnear, cnt
 
 
 def _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi, cluster_min,
-                              cluster_max):
+                              cluster_max, t_cap=None):
     # All arrays here are kept 2-D [nt, C] (clusters on the lane axis) by
     # unrolling the xyz loop in Python: a fused [nt, C, 3] formulation pads
     # its minor dim 3 -> 128 in every materialized intermediate (measured
@@ -210,6 +211,12 @@ def _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi, cluster_min,
         t_max_ax = jnp.where(unb, INF, t_max_ax)
         t_near_lb = t_min_ax if k == 0 else jnp.maximum(t_near_lb, t_min_ax)
         t_far_ub = t_max_ax if k == 0 else jnp.minimum(t_far_ub, t_max_ax)
+    if t_cap is not None:
+        # Capped query: clusters entirely beyond t_cap can never yield an
+        # accepted hit (the intersector enforces t < t_cap), so clip the
+        # frustum — an incoherent tile's frustum collapses from "the whole
+        # scene along a hemisphere" to a cap-sized neighborhood.
+        t_far_ub = jnp.minimum(t_far_ub, jnp.float32(t_cap))
     flags = (t_near_lb <= t_far_ub) & (t_far_ub >= 0.0)
     # FRONT-TO-BACK visit lists in one shot: top_k of the negated entry-t
     # keys compacts the flagged clusters AND orders them by entry lower
@@ -217,9 +224,17 @@ def _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi, cluster_min,
     # beyond cnt). top_k at the final width beats a full argsort of all C
     # clusters (~25% of the sort's cost at C=791) and its output is
     # already visit-list-sized for the SMEM prefetch.
+    #
+    # ADAPTIVE WIDTH: the width floor is _MAX_VISITS, but when the batch
+    # has few tiles (bounce levels: a 360k-ray level is only ~350 tiles)
+    # the same SMEM budget affords much wider lists — incoherent GI tiles
+    # whose frustum touches hundreds of clusters then keep REAL visit
+    # lists instead of tripping the kernel's overflow full-scan
+    # (C tests/ray instead of cnt).
     keys = jnp.where(flags, t_near_lb, INF)
-    c = keys.shape[1]
-    width = min(c, _MAX_VISITS)
+    nt, c = keys.shape
+    width = min(c, max(_MAX_VISITS,
+                       _SMEM_IDS_BUDGET_BYTES // (4 * max(nt, 1)) // 8 * 8))
     neg, ids = jax.lax.top_k(-keys, width)
     cnt = jnp.sum(flags, axis=1, dtype=jnp.int32)
     return ids.astype(jnp.int32), -neg, cnt
@@ -446,8 +461,12 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
             d_cols = tuple(rows[k:k + 1, :] for k in (4, 5, 6))
         if per_ray_tmax:
             t_lim = tmax_ref[:, lo:lo + rt]  # [1, RT] per-ray bound
+        elif nearest:
+            # Finite t_max in nearest mode = the capped first phase of a
+            # two-phase incoherent query (see nearest_hit_attrs_soa).
+            t_lim = None if t_max == float("inf") else t_max
         else:
-            t_lim = None if nearest else t_max
+            t_lim = t_max
 
         def intersect(blk):
             # blk: [rows, KU*CS] (row layouts) or [KU*CS, 12] ("pmtt") —
@@ -641,10 +660,11 @@ def _pad_rays_soa(rays8):
 
 
 # SMEM budget for the scalar-prefetched visit lists (v5e SMEM is 1 MB
-# total; ids are [n_tiles, C] i32 and must fit alongside counts). Each
-# over-budget chunk becomes a separate kernel launch inside a lax.map,
-# and launches cost ~0.2 ms each — so the budget is set near the ceiling.
-_SMEM_IDS_BUDGET_BYTES = 640 * 1024
+# total; ids are [n_tiles, W] i32 and must fit alongside counts, padding,
+# and spill slots). Both the adaptive WIDTH (phase 2) and the launcher's
+# tile chunking derive from this, so it must leave real headroom — at
+# 640 KB a 1024-tile x 160-wide list OOM'd smem by 5 KB.
+_SMEM_IDS_BUDGET_BYTES = 448 * 1024
 
 def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
                  tmax_row=None, ray_tile=RAY_TILE, subtiles=SUBTILES,
@@ -657,8 +677,6 @@ def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
     (t, i[, attrs]) as [rows, n_tiles*RAY_TILE] arrays. cnt is passed
     through UNclamped — the kernel's overflow fallback needs the true
     count."""
-    if ids.shape[1] > _MAX_VISITS:
-        ids = ids[:, :_MAX_VISITS]
     n_tiles, c = ids.shape
     if ids_vmem:
         max_tiles = n_tiles  # no SMEM footprint -> no chunking needed
@@ -898,12 +916,13 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
         unroll=VISIT_UNROLL, per_ray_tmax=tmax_row is not None,
         ray_tile=RAY_TILE, ids_vmem=IDS_VMEM,
     )
+    t_cap = t_max if (nearest and t_max != float("inf")) else None
     best = None
     for lo in range(0, c_total, gsz):
         hi = min(lo + gsz, c_total)
         ids, _, cnt = _tile_visit_lists_soa(
             rp, accel.cluster_min[lo:hi], accel.cluster_max[lo:hi],
-            RAY_TILE, interpret=interpret)
+            RAY_TILE, interpret=interpret, t_cap=t_cap)
         blocks = (all_blocks[lo:hi],)
         if n_attrs:
             blocks = blocks + (all_attrs[lo:hi],)
@@ -1027,23 +1046,52 @@ def nearest_hit_attrs_soa(
     eps: float = 1e-8,
     interpret: bool | None = None,
     variant: str = DEFAULT_VARIANT,
+    t_cap: float | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Nearest hit over the SoA ray pack, with the winning triangle's
     shading attributes accumulated IN the kernel (see _walk_kernel). Returns
     (t [N], slot [N] packed slot ids, attrs [A, N]) — attrs rows are
     normal(3) | color(3) | albedo/pi, reflectivity, roughness, all 0 on
-    miss lanes. No per-ray gather anywhere on this path."""
+    miss lanes. No per-ray gather anywhere on this path.
+
+    t_cap: optional distance for the TWO-PHASE incoherent query. Phase 1
+    walks with every tile frustum truncated at t_cap — a hemispherically
+    divergent (GI) tile's frustum collapses from most of the scene to a
+    cap-sized neighborhood, so visit lists shrink to primary-ray sizes.
+    Rays whose nearest hit (including the always-full-range rest set)
+    lands under the cap are DONE — any other candidate would be farther.
+    Only the survivors (escaped/far rays, whose frustums contain little
+    geometry) pay an uncapped phase 2; dead-lane culling makes their
+    all-done tiles free. Result is EXACTLY the uncapped nearest hit."""
     if interpret is None:
         interpret = not _on_tpu()
     rays8 = jax.lax.stop_gradient(rays8)
     rp, r = _pad_rays_soa(rays8)
     n_attrs = accel.attr_blocks.shape[1]
-    t_k, slot, attrs = _walk_groups(accel, rp, eps, interpret, variant,
-                                    nearest=True, t_max=float("inf"),
-                                    n_attrs=n_attrs)
-    t_k, slot, attrs = _merge_rest_nearest(accel, rp, t_k, slot, attrs,
-                                           eps, n_attrs)
-    return t_k[0, :r], slot[0, :r], attrs[:, :r]
+    if t_cap is None:
+        t_k, slot, attrs = _walk_groups(accel, rp, eps, interpret, variant,
+                                        nearest=True, t_max=float("inf"),
+                                        n_attrs=n_attrs)
+        t_k, slot, attrs = _merge_rest_nearest(accel, rp, t_k, slot, attrs,
+                                               eps, n_attrs)
+        return t_k[0, :r], slot[0, :r], attrs[:, :r]
+    t1, s1, a1 = _walk_groups(accel, rp, eps, interpret, variant,
+                              nearest=True, t_max=float(t_cap),
+                              n_attrs=n_attrs)
+    t1, s1, a1 = _merge_rest_nearest(accel, rp, t1, s1, a1, eps, n_attrs)
+    done = t1 < t_cap  # [1, rp]; rest hits beyond cap do NOT settle a ray
+    alive2 = (rp[7:8, :] != 0.0) & ~done
+    rp2 = jnp.concatenate([rp[:7], alive2.astype(rp.dtype)], axis=0)
+    t2, s2, a2 = _walk_groups(accel, rp2, eps, interpret, variant,
+                              nearest=True, t_max=float("inf"),
+                              n_attrs=n_attrs)
+    # Survivors may still be beaten by their (full-range) rest candidate
+    # already merged into pass 1: keep the elementwise nearest of both.
+    better2 = t2 < t1
+    t_m = jnp.where(done, t1, jnp.minimum(t1, t2))
+    s_m = jnp.where(done | ~better2, s1, s2)
+    a_m = jnp.where(done | ~better2, a1, a2)
+    return t_m[0, :r], s_m[0, :r], a_m[:, :r]
 
 
 def any_hit_soa(
@@ -1118,6 +1166,7 @@ def nearest_hit_shaded(
     interpret: bool | None = None,
     variant: str = DEFAULT_VARIANT,
     alive: jnp.ndarray | None = None,
+    t_cap: float | None = None,
 ) -> Tuple[Hit, jnp.ndarray]:
     """The renderer's gather-free fast path: nearest hit + the winning
     triangle's shading attributes straight out of the kernel. Returns
@@ -1133,7 +1182,7 @@ def nearest_hit_shaded(
     sg = jax.lax.stop_gradient
     rays8 = rays_to_soa(sg(o), sg(d), alive=alive)
     t_k, slot, attrs_k = nearest_hit_attrs_soa(accel, rays8, eps, interpret,
-                                               variant)
+                                               variant, t_cap=t_cap)
     hit = jnp.isfinite(t_k)
     slot_safe = jnp.where(hit, slot, 0)
     if accel.attr_tables is not None:

@@ -43,7 +43,13 @@ from raytracing_tpu.ops.color import gamma_correct
 from raytracing_tpu.ops.intersect import reflect, triangle_normal
 from raytracing_tpu.ops.linalg import dot, normalize
 from raytracing_tpu.ops.sampling import cosine_hemisphere
-from raytracing_tpu.kernels.binning import bin_key, bin_sort, scene_bounds, unsort
+from raytracing_tpu.kernels.binning import (
+    bin_key,
+    bin_sort,
+    bounce_bin_key,
+    scene_bounds,
+    unsort,
+)
 from raytracing_tpu.ops.trace import Hit
 from raytracing_tpu.tracer import any_hit, nearest_hit_shaded
 
@@ -114,14 +120,25 @@ def shade(
     # Shadow rays only matter where they can change the result; mark the
     # rest dead (miss lanes and backfacing hits) — the wavefront carries
     # them at static shape, but accelerated backends cull dead lanes from
-    # their tile decisions and all-dead tiles trace for free. The query
-    # runs in the CALLER's ray order: bounce levels arrive pre-sorted by
-    # (origin cell, direction cone) from render_rays' per-level bin, and
-    # the sun direction is near-uniform, so a separate shadow re-bin costs
-    # a full payload sort to save only the depth-straddle visits — a/b
-    # measured slower on the teapot frame.
+    # their tile decisions and all-dead tiles trace for free. With
+    # config.bin_shadow the query is re-sorted by HIT POSITION cell: the
+    # caller's ray order groups by ray origin/direction, but the shadow
+    # rays START at the hit points, which scatter across the scene for GI
+    # levels — unsorted, their tile frustums balloon and visit lists
+    # overflow to full cluster scans. Only pos+alive ride the sort;
+    # sun_dir is re-derived from the sorted positions.
     sh_alive = hit.hit & facing
-    occluded = any_hit(mesh, accel, pos, sun_dir, config, alive=sh_alive)
+    if (config.backend == "pallas" and accel is not None
+            and config.bin_shadow):
+        lo, hi = scene_bounds(accel)
+        k = bin_key(pos, sun_dir, lo, hi, sh_alive)
+        sidx, (pos_s, alive_s) = bin_sort(k, pos, sh_alive)
+        dir_s = normalize(sun - pos_s, eps=1e-20)
+        occ_s = any_hit(mesh, accel, pos_s, dir_s, config, alive=alive_s)
+        (occluded,) = unsort(sidx, occ_s)
+    else:
+        occluded = any_hit(mesh, accel, pos, sun_dir, config,
+                           alive=sh_alive)
     lit = hit.hit & facing & ~occluded
     direct = jnp.where(
         lit[:, None], color * (ndl * albedo_pi)[:, None], 0.0
@@ -221,16 +238,30 @@ def render_rays(
     levels = []
     o_l, d_l = o, d
     alive_l = None  # primary rays are all alive
+    t_cap = None
+    if config.gi_cap_frac > 0.0 and accel is not None:
+        # Needs a PYTHON float (it parameterizes the compiled kernel).
+        # Computable whenever the accel is a concrete (closure) constant —
+        # the render() hot path; a traced accel (inverse.fit steps) simply
+        # skips the two-phase optimization.
+        try:
+            lo_c, hi_c = scene_bounds(accel)
+            t_cap = config.gi_cap_frac * float(
+                jnp.linalg.norm(hi_c - lo_c))
+        except (jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            t_cap = None
     for depth in range(1, max_depth + 1):
         n_l = o_l.shape[0]
         sidx = None
         if (depth > 1 and config.backend == "pallas" and accel is not None
                 and config.bin_secondary):
             lo_, hi_ = scene_bounds(accel)
-            k = bin_key(o_l, d_l, lo_, hi_, alive_l)
+            k = bounce_bin_key(o_l, d_l, lo_, hi_, alive_l)
             sidx, (o_l, d_l, alive_l) = bin_sort(k, o_l, d_l, alive_l)
         h, attrs = nearest_hit_shaded(mesh, accel, o_l, d_l, config,
-                                      alive=alive_l)
+                                      alive=alive_l,
+                                      t_cap=t_cap if depth > 1 else None)
         sh = shade(mesh, accel, sun, o_l, d_l, h, config, attrs=attrs)
         direct = sh.direct
         if lights is not None:

@@ -60,19 +60,24 @@ def nearest_hit_shaded(
     d: jnp.ndarray,
     config: RenderConfig,
     alive: Optional[jnp.ndarray] = None,
+    t_cap: Optional[float] = None,
 ):
     """Nearest hit plus (on the pallas backend) the winning triangle's
     shading attributes accumulated inside the kernel — the gather-free hot
     path for renderers. Returns (Hit, attrs [N, 9] | None); attrs is None
     on backends that have no cheap attribute path (callers fall back to
     the fused row gather). NOTE: when attrs is not None, Hit.tri holds
-    packed slot ids (see kernels.traverse.nearest_hit_shaded)."""
+    packed slot ids (see kernels.traverse.nearest_hit_shaded).
+
+    t_cap: optional two-phase cap for incoherent batches (pallas only —
+    other backends ignore it; results are identical either way)."""
     if config.backend == "pallas" and accel is not None:
         from raytracing_tpu.kernels.traverse import (
             nearest_hit_shaded as _shaded,
         )
 
-        return _shaded(mesh, accel, o, d, config.eps, alive=alive)
+        return _shaded(mesh, accel, o, d, config.eps, alive=alive,
+                       t_cap=t_cap)
     return nearest_hit(mesh, accel, o, d, config, alive=alive), None
 
 
