@@ -1,22 +1,32 @@
-"""Extended benchmark suite — one JSON line per metric.
+"""Extended benchmark suite — one JSON line per metric, plus a committed
+artifact file (BENCH_SUITE_r02.json).
 
 Covers the BASELINE.md targets beyond the headline primary-rays/s that
 `bench.py` reports for the driver:
 
   primary_rays_per_s_per_chip_teapot   (same as bench.py)
-  backward_over_forward                <= 2.5 target: cost of
+  backward_over_forward                target <= 2.5: cost of
                                        value_and_grad of a pixel loss
                                        w.r.t. verts/colors/materials vs
                                        the forward render of the same rays
   whitted_frame_seconds                full 800x800x4spp reference frame
                                        (reflect 4, 10-ray diffuse, shadows)
-  scaling_efficiency_n<N>              per-device rays/s at N devices vs
-                                       at 1 device (ray batch sharded,
-                                       geometry replicated). Needs a
-                                       multi-device runtime to be
-                                       meaningful; on one chip prints 1.0.
+  path_tracer_config3_seconds          800x800, 64 spp, 4 bounces
+                                       (BASELINE config 3)
+  rays_per_s_404k / rays_per_s_1m6     primary nearest-hit throughput on
+                                       the subdivided teapot (404k / 1.6M
+                                       triangles — BASELINE config 4 scale)
+  accel_build_*                        structure build latency (the
+                                       criterion pack_triangles analog)
+  scaling_efficiency_n<N>              per-device rays/s at N devices vs 1
 
-Usage: python bench_suite.py [--skip-frame]
+Measurement discipline: every kernel-level timing threads a dependency
+chain (distinct inputs each call) and subtracts a null chain — this
+runtime can serve repeated identical dispatches from cache (see
+raytracing_tpu/utils/timing.py). Frame timings use distinct RNG keys per
+call, which already makes every chunk program's inputs unique.
+
+Usage: python bench_suite.py [--skip-frame] [--skip-large] [--out FILE]
 """
 
 from __future__ import annotations
@@ -35,51 +45,135 @@ from raytracing_tpu.geometry.scene import build_default_scene
 from raytracing_tpu.models.camera import block_ray_ids, camera_rays_for_ids
 from raytracing_tpu.models.whitted import render, render_rays
 
+RECORDS = []
+
 
 def _emit(metric, value, unit, baseline=None):
     rec = {"metric": metric, "value": value, "unit": unit}
     if baseline is not None:
         rec["vs_baseline"] = value / baseline
+    RECORDS.append(rec)
     print(json.dumps(rec), flush=True)
 
 
 def bench_backward_over_forward(scene, accel, cfg):
     """Forward render vs value_and_grad of a scalar pixel loss w.r.t.
-    verts + colors + materials, on identical ray batches."""
-    # Representative mid-frame batch (16 chunks over the teapot region):
-    # a sky-only batch makes forward artificially cheap (dead tiles cull
-    # free) and the ratio meaninglessly large.
+    verts + colors + materials, on identical ray batches — chained so no
+    call can be served from cache."""
     ids = jnp.concatenate(
         [block_ray_ids(i, 16384, cfg, 16, 16) for i in range(90, 106)]
     )
     o, d = camera_rays_for_ids(ids, cfg)
     key = jax.random.PRNGKey(3)
 
-    def loss_of(verts, colors, materials):
+    def loss_of(verts, colors, materials, key_):
         mesh = scene.mesh._replace(verts=verts, colors=colors,
                                    materials=materials)
-        rgb = render_rays(mesh, accel, scene.sun, o, d, key, cfg)
+        rgb = render_rays(mesh, accel, scene.sun, o, d, key_, cfg)
         return jnp.sum(rgb * rgb)
 
-    fwd = jax.jit(loss_of)
-    bwd = jax.jit(jax.value_and_grad(loss_of, argnums=(0, 1, 2)))
-    args = (scene.mesh.verts, scene.mesh.colors, scene.mesh.materials)
-    jax.block_until_ready(fwd(*args))
-    jax.block_until_ready(bwd(*args))
+    @jax.jit
+    def fwd_step(c):
+        k = jax.random.fold_in(key, c)
+        v = scene.mesh.verts + jax.random.uniform(k, ()) * 1e-12
+        loss = loss_of(v, scene.mesh.colors, scene.mesh.materials, key)
+        return c + 1 + (jnp.abs(loss) * 1e-20).astype(jnp.int32)
 
-    def timeit(f, iters=8):
+    @jax.jit
+    def bwd_step(c):
+        k = jax.random.fold_in(key, c)
+        v = scene.mesh.verts + jax.random.uniform(k, ()) * 1e-12
+        loss, grads = jax.value_and_grad(loss_of, argnums=(0, 1, 2))(
+            v, scene.mesh.colors, scene.mesh.materials, key)
+        return c + 1 + (jnp.abs(loss) * 1e-20).astype(jnp.int32)
+
+    def chain(step, iters=8):
+        c0 = jax.block_until_ready(step(jnp.int32(0)))
         best = float("inf")
         for _ in range(3):
+            s = c0
             t0 = time.perf_counter()
             for _ in range(iters):
-                out = f(*args)
-            jax.block_until_ready(out)
+                s = step(s)
+            jax.block_until_ready(s)
             best = min(best, (time.perf_counter() - t0) / iters)
         return best
 
-    tf = timeit(fwd)
-    tb = timeit(bwd)
+    tf = chain(fwd_step)
+    tb = chain(bwd_step)
     return tb / tf, tf, tb
+
+
+def bench_large_scene(on_tpu):
+    """Primary nearest-hit rays/s on the subdivided teapot (404k / 1.6M
+    triangles) through the pallas grouped walk — BASELINE config 4."""
+    from raytracing_tpu.geometry.scene import subdivided_teapot_mesh
+    from raytracing_tpu.kernels import traverse as tr
+    from raytracing_tpu.models.camera import block_permutation, camera_rays
+
+    cfg = RenderConfig(width=800, height=800, samples_per_pixel=4)
+    o, d = camera_rays(cfg)
+    spp, h, w = o.shape[:3]
+    perm, _ = block_permutation(spp, h, w, 16, 16)
+    on = np.asarray(o).reshape(-1, 3)[np.asarray(perm)]
+    dn = np.asarray(d).reshape(-1, 3)[np.asarray(perm)]
+    n = on.shape[0]
+    rays8 = jnp.asarray(np.concatenate(
+        [on.T, np.ones((1, n), np.float32), dn.T,
+         np.ones((1, n), np.float32)], axis=0))
+
+    out = {}
+    for levels, tag in ((3, "404k"), (4, "1m6")):
+        t0 = time.perf_counter()
+        mesh = subdivided_teapot_mesh(levels=levels)
+        accel = build_cluster_accel(mesh, cluster_size=16)
+        jax.block_until_ready(accel.cluster_min)
+        build_s = time.perf_counter() - t0
+        _emit(f"accel_build_{tag}", build_s, "s")
+
+        @jax.jit
+        def step(c, rays8):
+            r = rays8.at[0, 0].add(c * 1e-12)
+            t, _ = tr.nearest_hit_soa(accel, r, interpret=not on_tpu)
+            hit = jnp.isfinite(t)
+            return jnp.sum(t, where=hit) * 1e-20, jnp.sum(hit)
+
+        s, hits = jax.block_until_ready(step(jnp.float32(0.0), rays8))
+        assert 0.05 < float(hits) / n < 0.95, float(hits) / n
+        best = float("inf")
+        iters = 10 if on_tpu else 1
+        for _ in range(3):
+            st = s
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                st, _ = step(st, rays8)
+            jax.block_until_ready(st)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        out[tag] = n / best
+        _emit(f"rays_per_s_{tag}", n / best, "rays/s")
+        del accel, mesh
+    return out
+
+
+def bench_path_tracer(scene, accel, on_tpu):
+    """BASELINE config 3: 800x800, 64 spp, 4 bounces."""
+    from raytracing_tpu.models.path_tracer import (
+        PathTracerConfig,
+        render as pt_render,
+    )
+
+    cfg = RenderConfig(width=800, height=800,
+                       backend="pallas" if on_tpu else "cluster",
+                       chunk_size=65536)
+    pt = PathTracerConfig(max_bounces=4, samples_per_pixel=64)
+    img = jax.block_until_ready(pt_render(scene, cfg, pt, accel=accel))
+    t0 = time.perf_counter()
+    img = jax.block_until_ready(
+        pt_render(scene, cfg, pt, accel=accel, key=jax.random.PRNGKey(1)))
+    dt = time.perf_counter() - t0
+    _emit("path_tracer_config3_seconds", dt, "s")
+    _emit("path_tracer_config3_paths_per_s",
+          800 * 800 * 64 / dt, "paths/s")
 
 
 def bench_scaling(scene, cfg):
@@ -94,8 +188,9 @@ def bench_scaling(scene, cfg):
                          backend="cluster", diffuse_depth=0, reflect_depth=1)
         img = jax.block_until_ready(render_sharded(scene, sc, dmesh))
         t0 = time.perf_counter()
-        for _ in range(3):
-            img = render_sharded(scene, sc, dmesh)
+        for k in range(3):
+            img = render_sharded(scene, sc, dmesh,
+                                 key=jax.random.PRNGKey(k))
         jax.block_until_ready(img)
         dt = (time.perf_counter() - t0) / 3
         rays = 256 * 256 * 4
@@ -106,6 +201,8 @@ def bench_scaling(scene, cfg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-frame", action="store_true")
+    ap.add_argument("--skip-large", action="store_true")
+    ap.add_argument("--out", default="BENCH_SUITE_r02.json")
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -133,6 +230,7 @@ def main():
         dt = time.perf_counter() - t0
         _emit("whitted_frame_seconds", dt, "s")
         _emit("whitted_fps", 1.0 / dt, "fps")
+        bench_path_tracer(scene, accel, on_tpu)
 
     # 4. accel build time — the analog of the reference's criterion
     # pack_triangles microbenchmark (benches/simd_bench.rs:62-64), now
@@ -142,13 +240,21 @@ def main():
     _emit("accel_build_teapot_scene", (time.perf_counter() - t0) * 1e3,
           "ms")
 
-    # 5. scaling efficiency across available devices
+    # 5. large-scene throughput (config 4 scale)
+    if not args.skip_large:
+        bench_large_scene(on_tpu)
+
+    # 6. scaling efficiency across available devices
     results, n_all = bench_scaling(scene, cfg)
     if n_all > 1:
         _emit(f"scaling_efficiency_n{n_all}",
               results[n_all] / results[1], "x", baseline=0.85)
     else:
         _emit("scaling_efficiency_n1", 1.0, "x")
+
+    with open(args.out, "w") as f:
+        json.dump(RECORDS, f, indent=1)
+    print(f"# wrote {args.out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,18 @@ import jax
 import numpy as np
 
 
+def _maybe_init_distributed(args) -> bool:
+    """Multi-host wiring (parallel/distributed.py): explicit flags or the
+    RTPU_* env vars; a no-op for single-process runs."""
+    from raytracing_tpu.parallel.distributed import initialize
+
+    return initialize(
+        coordinator_address=getattr(args, "coordinator", None),
+        num_processes=getattr(args, "num_processes", None),
+        process_id=getattr(args, "process_id", None),
+    )
+
+
 def _build(args):
     from raytracing_tpu.accel.packets import build_cluster_accel
     from raytracing_tpu.config import RenderConfig
@@ -52,9 +64,35 @@ def cmd_render(args) -> None:
     from raytracing_tpu.utils.image import write_png
     from raytracing_tpu.utils.profiling import device_summary, profile_trace
 
+    multi = _maybe_init_distributed(args)
     cfg, scene, accel = _build(args)
     print(f"devices: {device_summary()}")
     print(f"triangles: {scene.mesh.num_triangles}")  # main.rs:456-459 parity
+    if multi:
+        # Multi-host: every process renders only its addressable ray
+        # shards and writes them gather-free; stitch offline with
+        # parallel.distributed.assemble_shards (or the render once all
+        # hosts finished).
+        from raytracing_tpu.parallel.distributed import (
+            assemble_shards,
+            render_distributed,
+            save_local_shards,
+        )
+
+        t0 = time.perf_counter()
+        rgb = render_distributed(scene, cfg, accel=accel,
+                                 key=jax.random.PRNGKey(args.seed))
+        jax.block_until_ready(rgb)
+        dt = time.perf_counter() - t0
+        out_dir = args.out + ".shards"
+        files = save_local_shards(rgb, out_dir)
+        print(f"frame: {dt*1e3:.1f} ms; wrote {len(files)} shard files "
+              f"to {out_dir} (process {jax.process_index()})")
+        if jax.process_index() == 0 and args.assemble:
+            img = assemble_shards(out_dir, cfg)
+            write_png(args.out, img)
+            print(f"wrote {args.out}")
+        return
     with profile_trace(args.profile):
         t0 = time.perf_counter()
         img = render(scene, cfg, accel=accel, key=jax.random.PRNGKey(args.seed))
@@ -162,10 +200,21 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--profile", default=None,
                         help="jax.profiler trace logdir")
+        # Multi-host (jax.distributed) wiring; also via RTPU_COORDINATOR /
+        # RTPU_NUM_PROCESSES / RTPU_PROCESS_ID, or --num-processes auto on
+        # TPU pod slices.
+        sp.add_argument("--coordinator", default=None,
+                        help="host:port of process 0")
+        sp.add_argument("--num-processes", default=None,
+                        help="process count, or 'auto' (pod detection)")
+        sp.add_argument("--process-id", type=int, default=None)
 
     sp = sub.add_parser("render", help="render one frame to PNG")
     common(sp)
     sp.add_argument("--out", default="frame.png")
+    sp.add_argument("--assemble", action="store_true",
+                    help="(multi-host) process 0 stitches shard files "
+                         "after rendering")
     sp.set_defaults(fn=cmd_render)
 
     sp = sub.add_parser("animate", help="N-frame loop w/ orbiting sun + fps")

@@ -81,11 +81,12 @@ class RenderConfig:
         return dataclasses.replace(self, **kw)
 
     @property
-    def spp_grid(self) -> int:
-        n = int(round(self.samples_per_pixel ** 0.5))
-        if n * n != self.samples_per_pixel:
-            raise ValueError("samples_per_pixel must be a square number")
-        return n
+    def spp_grid(self):
+        """Stratification grid (gx, gy), gx * gy == samples_per_pixel —
+        any positive spp is valid (rectangular grid for non-squares)."""
+        from raytracing_tpu.ops.sampling import stratified_grid
+
+        return stratified_grid(self.samples_per_pixel)
 
 
 # Reference scene materials (`main.rs:426-447`): Material::new(albedo,

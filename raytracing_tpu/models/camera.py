@@ -63,13 +63,16 @@ def camera_rays_for_ids(
     x = (rem % w).astype(dtype)
     # Select chain over the (static, tiny) spp offset table — a per-ray
     # gather here would serialize on TPU. Offsets computed host-side in
-    # f32 so values match stratified_offsets exactly.
-    g = int(round(spp ** 0.5))
-    if g * g != spp:
-        raise ValueError("spp must be square")
-    c = ((np.arange(g, dtype=np.float32) + np.float32(0.5))
-         / np.float32(g))
-    gx, gy = np.meshgrid(c, c, indexing="ij")
+    # f32 so values match stratified_offsets exactly (same gx x gy grid,
+    # any spp).
+    from raytracing_tpu.ops.sampling import stratified_grid
+
+    g1, g2 = stratified_grid(spp)
+    cx = ((np.arange(g1, dtype=np.float32) + np.float32(0.5))
+          / np.float32(g1))
+    cy = ((np.arange(g2, dtype=np.float32) + np.float32(0.5))
+          / np.float32(g2))
+    gx, gy = np.meshgrid(cx, cy, indexing="ij")
     offs_np = list(zip(gx.ravel().tolist(), gy.ravel().tolist()))
     ox = jnp.full_like(x, offs_np[0][0])
     oy = jnp.full_like(y, offs_np[0][1])

@@ -60,13 +60,30 @@ def trace_paths(
     pt: PathTracerConfig,
 ) -> jnp.ndarray:
     """One radiance sample per ray [R, 3] -> linear RGB [R, 3] (no gamma)."""
+    from raytracing_tpu.kernels.binning import (
+        bin_sort,
+        bounce_bin_key,
+        scene_bounds,
+    )
+
     r = o.shape[0]
     sky = jnp.asarray(config.sky_color, dtype=o.dtype)
     radiance = jnp.zeros((r, 3), dtype=o.dtype)
     throughput = jnp.ones((r, 3), dtype=o.dtype)
     alive = jnp.ones(r, dtype=bool)
+    binning = (config.backend == "pallas" and accel is not None
+               and config.bin_secondary)
+    orig = jnp.arange(r, dtype=jnp.int32)
 
     for bounce in range(pt.max_bounces):
+        if bounce > 0 and binning:
+            # Re-bin the whole per-path state by (coarse origin cell, fine
+            # direction cone) — same GI regime as the Whitted bounce
+            # levels; the orig column restores pixel order at the end.
+            lo_, hi_ = scene_bounds(accel)
+            kb_ = bounce_bin_key(o, d, lo_, hi_, alive)
+            _, (o, d, alive, throughput, radiance, orig) = bin_sort(
+                kb_, o, d, alive, throughput, radiance, orig)
         h, attrs = nearest_hit_shaded(mesh, accel, o, d, config, alive=alive)
         sh = shade(mesh, accel, sun, o, d, h, config, attrs=attrs)
         hit = h.hit & alive
@@ -112,6 +129,8 @@ def trace_paths(
             (refl > 0.0) | (rough > 0.0)
         )
 
+    if binning:
+        _, (radiance,) = bin_sort(orig, radiance)
     return radiance
 
 

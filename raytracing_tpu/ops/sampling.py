@@ -77,16 +77,29 @@ def sample_cone(
     return normalize(d, eps=1e-20)
 
 
+def stratified_grid(spp: int) -> Tuple[int, int]:
+    """Stratification grid (gx, gy) with gx * gy == spp: the largest
+    divisor pair closest to square (4 -> 2x2, 2 -> 1x2, 8 -> 2x4, 6 ->
+    2x3). Any positive spp is valid — non-square counts just stratify on
+    a rectangular grid."""
+    if spp < 1:
+        raise ValueError("spp must be >= 1")
+    gx = int(spp ** 0.5)
+    while spp % gx:
+        gx -= 1
+    return gx, spp // gx
+
+
 def stratified_offsets(spp: int, dtype=jnp.float32) -> jnp.ndarray:
-    """Sub-pixel sample offsets [spp, 2] on a sqrt(spp) x sqrt(spp) grid.
+    """Sub-pixel sample offsets [spp, 2] on a gx x gy cell-center grid
+    (see stratified_grid).
 
     For spp=4 this reproduces the reference's fixed pattern (main.rs:321-364):
     (0.25, 0.25), (0.75, 0.75), (0.25, 0.75), (0.75, 0.25) — cell centers of
     the 2x2 grid (order differs; the average is order-independent).
     """
-    g = int(round(spp ** 0.5))
-    if g * g != spp:
-        raise ValueError("spp must be square")
-    c = (jnp.arange(g, dtype=dtype) + 0.5) / g
-    xx, yy = jnp.meshgrid(c, c, indexing="ij")
+    gx, gy = stratified_grid(spp)
+    cx = (jnp.arange(gx, dtype=dtype) + 0.5) / gx
+    cy = (jnp.arange(gy, dtype=dtype) + 0.5) / gy
+    xx, yy = jnp.meshgrid(cx, cy, indexing="ij")
     return jnp.stack([xx.ravel(), yy.ravel()], axis=-1)

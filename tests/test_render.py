@@ -27,9 +27,24 @@ def small_cfg(**kw):
     return RenderConfig(**base)
 
 
+# The 48x48 full-depth render costs ~50 s of CPU XLA; render each
+# (config, key) at most once per test session and let every invariant
+# test share it.
+_RENDER_CACHE: dict = {}
+
+
+def _cached_render(scene, cfg, key_seed, accel=None):
+    k = (cfg, key_seed, accel is not None)
+    if k not in _RENDER_CACHE:
+        _RENDER_CACHE[k] = np.asarray(
+            render(scene, cfg, accel=accel, key=jax.random.PRNGKey(key_seed))
+        )
+    return _RENDER_CACHE[k]
+
+
 def test_sky_and_bounds(default_scene):
     accel = build_cluster_accel(default_scene.mesh)
-    img = np.asarray(render(default_scene, small_cfg(), accel=accel))
+    img = _cached_render(default_scene, small_cfg(), 0, accel)
     assert img.shape == (48, 48, 3)
     assert np.isfinite(img).all()
     sky = (np.array([0x87, 0xCE, 0xEB]) / 255.0) ** (1 / 2.2)
@@ -40,19 +55,14 @@ def test_sky_and_bounds(default_scene):
 
 def test_backends_agree(default_scene):
     accel = build_cluster_accel(default_scene.mesh)
-    key = jax.random.PRNGKey(3)
-    a = np.asarray(render(default_scene, small_cfg(), accel=accel, key=key))
-    b = np.asarray(
-        render(default_scene, small_cfg(backend="bruteforce"), key=key)
-    )
+    a = _cached_render(default_scene, small_cfg(), 0, accel)
+    b = _cached_render(default_scene, small_cfg(backend="bruteforce"), 0)
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
 def test_golden_image(default_scene):
     accel = build_cluster_accel(default_scene.mesh)
-    img = np.asarray(
-        render(default_scene, small_cfg(), accel=accel, key=jax.random.PRNGKey(0))
-    )
+    img = _cached_render(default_scene, small_cfg(), 0, accel)
     if not os.path.exists(GOLDEN):
         os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
         np.save(GOLDEN, img)

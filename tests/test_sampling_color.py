@@ -65,3 +65,18 @@ def test_gamma_and_u8():
     frame = to_rgba_frame(jnp.ones((2, 2, 3)) * 0.5)
     assert frame.shape == (2, 2, 4)
     assert (frame[..., 3] == 0xFF).all()
+
+
+def test_nonsquare_spp_offsets():
+    # Any spp stratifies on a gx x gy grid (gx * gy == spp); offsets stay
+    # inside the pixel and cover distinct cells.
+    import numpy as np
+    from raytracing_tpu.ops.sampling import stratified_grid, stratified_offsets
+
+    for spp in (1, 2, 3, 6, 8, 12):
+        gx, gy = stratified_grid(spp)
+        assert gx * gy == spp
+        offs = np.asarray(stratified_offsets(spp))
+        assert offs.shape == (spp, 2)
+        assert (offs > 0).all() and (offs < 1).all()
+        assert len({tuple(o) for o in offs.tolist()}) == spp
