@@ -85,7 +85,10 @@ def bench_backward_over_forward(scene, accel, cfg):
         v = scene.mesh.verts + jax.random.uniform(k, ()) * 1e-12
         loss, grads = jax.value_and_grad(loss_of, argnums=(0, 1, 2))(
             v, scene.mesh.colors, scene.mesh.materials, key)
-        return c + 1 + (jnp.abs(loss) * 1e-20).astype(jnp.int32)
+        # Fold every gradient into the carry — an unused grads tuple
+        # would let XLA dead-code-eliminate the whole backward pass.
+        g = sum(jnp.sum(jnp.abs(gi)) for gi in grads)
+        return c + 1 + ((jnp.abs(loss) + g) * 1e-20).astype(jnp.int32)
 
     def chain(step, iters=8):
         c0 = jax.block_until_ready(step(jnp.int32(0)))
@@ -126,7 +129,7 @@ def bench_large_scene(on_tpu):
     for levels, tag in ((3, "404k"), (4, "1m6")):
         t0 = time.perf_counter()
         mesh = subdivided_teapot_mesh(levels=levels)
-        accel = build_cluster_accel(mesh, cluster_size=16)
+        accel = build_cluster_accel(mesh, cluster_size=64, method="median")
         jax.block_until_ready(accel.cluster_min)
         build_s = time.perf_counter() - t0
         _emit(f"accel_build_{tag}", build_s, "s")

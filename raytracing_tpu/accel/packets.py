@@ -66,6 +66,14 @@ class ClusterAccel(NamedTuple):
                   re-gathers in backward only (traverse._lazy_attrs).
     attr_tables:  [O, 6] f32 (objid mode) — per-object color(3) +
                   material(3) rows; None in full mode.
+    grad_blocks:  [C, 11, CS] f32 — BACKWARD-ONLY attribute planes:
+                  v0(3) | e1(3) | e2(3) | tri_id | obj_id. The lazy VJP
+                  re-runs the walk with these planes instead of paying
+                  ~12 R-sized serial gathers to re-derive the winning
+                  triangle's vertices and ids (the gathers measured ~70%
+                  of the whole backward pass at wavefront sizes). The
+                  forward/shading path never loads them.
+    rest_grad:    [Rr, 11] f32 — same rows for the rest set.
     tri_blocks:   [C, 9, CS]  f32 — v0/e1/e2 rows, triangles on lanes
     pmt_t_blocks: [C, CS, 12] f32 — the Baldwin–Weber rows TRANSPOSED:
                   triangles on SUBLANES, the 12 quantities on lanes. This
@@ -93,10 +101,10 @@ class ClusterAccel(NamedTuple):
     slot_valid: jnp.ndarray
     cluster_min: jnp.ndarray
     cluster_max: jnp.ndarray
-    tri_blocks: jnp.ndarray
+    tri_blocks: Optional[jnp.ndarray]
     pmt_blocks: jnp.ndarray
-    pmt_t_blocks: jnp.ndarray
-    woop_blocks: jnp.ndarray
+    pmt_t_blocks: Optional[jnp.ndarray]
+    woop_blocks: Optional[jnp.ndarray]
     order_blocks: jnp.ndarray
     attr_blocks: jnp.ndarray
     attr_t_blocks: jnp.ndarray
@@ -112,6 +120,8 @@ class ClusterAccel(NamedTuple):
     rest_blocks: Optional[jnp.ndarray]   # [Rr, 9] v0|e1|e2 rows
     rest_ids: Optional[jnp.ndarray]      # [Rr] original triangle ids
     rest_attrs: Optional[jnp.ndarray]    # [Rr, A] attr-plane schema rows
+    grad_blocks: jnp.ndarray             # [C, 11, CS] backward planes
+    rest_grad: Optional[jnp.ndarray]     # [Rr, 11]
 
     @property
     def num_clusters(self) -> int:
@@ -148,27 +158,38 @@ def _morton_codes(centroids: np.ndarray) -> np.ndarray:
 
 
 def _median_split_order(cent: np.ndarray, cs: int) -> np.ndarray:
-    """Recursive longest-axis median split into contiguous `cs`-sized runs —
-    the leaf layer of an object-median BVH, flattened. Versus a Morton sort
+    """Longest-axis median split into contiguous `cs`-sized runs — the
+    leaf layer of an object-median BVH, flattened. Versus a Morton sort
     (whose Z-order jumps leave fat cluster AABBs), the split keeps every
     cluster a compact spatial blob: measured on the teapot frame it cuts
-    tile-visit triangle tests from 64 to 28 per ray at cs=8. Split counts
-    are kept multiples of cs so clusters never straddle a split plane."""
-    out = []
+    tile-visit triangle tests from 64 to 28 per ray at cs=8 (and at 404k
+    triangles Morton's looser boxes cost ~2x in traversal). Split counts
+    are kept multiples of cs so clusters never straddle a split plane.
 
-    def rec(ids: np.ndarray) -> None:
-        if len(ids) <= cs:
-            out.append(ids)
-            return
-        c = cent[ids]
-        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
-        half = (len(ids) // 2 // cs) * cs or cs
-        srt = ids[np.argsort(c[:, ax], kind="stable")]
-        rec(srt[:half])
-        rec(srt[half:])
-
-    rec(np.arange(cent.shape[0]))
-    return np.concatenate(out)
+    Implementation is level-synchronous and fully vectorized (one
+    lexsort + reduceat per depth level over ALL segments at once) — the
+    per-segment recursive version took ~160 s at 1.6M triangles; this
+    runs the same split in a few seconds."""
+    n = cent.shape[0]
+    order = np.arange(n)
+    bounds = np.array([0, n], dtype=np.int64)
+    while True:
+        lens = np.diff(bounds)
+        if (lens <= cs).all():
+            return order
+        starts = bounds[:-1]
+        c = cent[order]
+        mins = np.minimum.reduceat(c, starts, axis=0)
+        maxs = np.maximum.reduceat(c, starts, axis=0)
+        axis = np.argmax(maxs - mins, axis=1)  # [S] per-segment split axis
+        seg_id = np.searchsorted(bounds, np.arange(n), side="right") - 1
+        keyc = c[np.arange(n), axis[seg_id]]
+        idx = np.lexsort((keyc, seg_id))  # stable within segment
+        order = order[idx]
+        half = np.where(lens > cs,
+                        np.maximum((lens // 2 // cs) * cs, cs), 0)
+        new_b = (starts + half)[half > 0]
+        bounds = np.unique(np.concatenate([bounds, new_b]))
 
 
 def _sah_split_order(cent: np.ndarray, blo: np.ndarray, bhi: np.ndarray,
@@ -222,7 +243,7 @@ def _index_sort_order(tri_v: np.ndarray) -> np.ndarray:
 
 def build_cluster_accel(
     mesh: Mesh, cluster_size: int = 128, method: str = "auto",
-    rest_max: int = 64,
+    rest_max: int = 64, variants="auto",
 ) -> ClusterAccel:
     """Host-side (numpy) build. `method`: "auto" (default: "sah" up to
     100k triangles, "median" beyond — the exact SAH sweep costs ~2 min at
@@ -237,12 +258,22 @@ def build_cluster_accel(
     rest_max triangles total; see ClusterAccel.rest_blocks) instead of a
     mostly-padding cluster — but only when at least one object is big
     enough to cluster (a rest-only accel would leave the kernel walking
-    nothing)."""
+    nothing).
+
+    variants: which kernel block families to materialize on device.
+    "auto" = all of them up to 100k triangles, only the default ("pmt")
+    beyond — the alternates cost real build time and device transfer
+    (the woop matmul blocks alone are 307 MB at 1.6M triangles). Pass an
+    explicit tuple (e.g. ("pmt", "woop")) to override; unbuilt families
+    are None and selecting their variant at trace time raises."""
     verts = np.asarray(mesh.verts)
     tri_v = np.asarray(mesh.tri_v)
     obj_id = np.asarray(mesh.obj_id)
     if method == "auto":
         method = "sah" if tri_v.shape[0] <= 100_000 else "median"
+    if variants == "auto":
+        variants = (("pmt", "mt", "pmtt", "woop")
+                    if tri_v.shape[0] <= 100_000 else ("pmt",))
 
     n_obj = int(obj_id.max()) + 1 if obj_id.size else 0
     counts = [int((obj_id == oi).sum()) for oi in range(n_obj)]
@@ -295,7 +326,8 @@ def build_cluster_accel(
     vmax = np.where(valid[:, None, None], tri_verts, -big).reshape(c, -1, 3).max(axis=1)
 
     tri_blocks, pmt_blocks, woop_blocks = _kernel_blocks_host(
-        tri_verts.astype(np.float32), valid, c, cluster_size
+        tri_verts.astype(np.float32), valid, c, cluster_size,
+        build_woop="woop" in variants,
     )
     # Shading attribute rows in packed order (see ClusterAccel docstring).
     # Padding slots are all-zero: their planes never win (t = +inf).
@@ -328,7 +360,15 @@ def build_cluster_accel(
     attr_t = attrs.reshape(c, cluster_size, a_rows)
     attr_blocks = attr_t.transpose(0, 2, 1)
 
-    rest_blocks = rest_ids_j = rest_attrs = None
+    # Backward planes: v0/e1/e2 (= tri_blocks rows) + tri id + obj id.
+    grad_rows = np.concatenate(
+        [tri_blocks,
+         order.astype(np.float32).reshape(c, 1, cluster_size),
+         obj_id[order].astype(np.float32).reshape(c, 1, cluster_size)],
+        axis=1,
+    ).astype(np.float32)
+
+    rest_blocks = rest_ids_j = rest_attrs = rest_grad = None
     if rest_parts:
         rest = np.concatenate(rest_parts).astype(np.int64)
         rv = verts[tri_v[rest]].astype(np.float32)  # [Rr, 3, 3]
@@ -345,17 +385,24 @@ def build_cluster_accel(
                 [normals[rest], colors[rest], materials[obj_id[rest]]],
                 axis=1)
         rest_attrs = jnp.asarray(ra.astype(np.float32))
+        rest_grad = jnp.asarray(np.concatenate(
+            [np.asarray(rest_blocks),
+             rest.astype(np.float32)[:, None],
+             obj_id[rest].astype(np.float32)[:, None]],
+            axis=1).astype(np.float32))
     return ClusterAccel(
         order=jnp.asarray(order.astype(np.int32)),
         slot_valid=jnp.asarray(valid),
         cluster_min=jnp.asarray(vmin.astype(np.float32)),
         cluster_max=jnp.asarray(vmax.astype(np.float32)),
-        tri_blocks=jnp.asarray(tri_blocks),
+        tri_blocks=(jnp.asarray(tri_blocks)
+                    if "mt" in variants else None),
         pmt_blocks=jnp.asarray(pmt_blocks),
-        pmt_t_blocks=jnp.asarray(
+        pmt_t_blocks=(jnp.asarray(
             np.ascontiguousarray(pmt_blocks.transpose(0, 2, 1))
-        ),
-        woop_blocks=jnp.asarray(woop_blocks),
+        ) if "pmtt" in variants else None),
+        woop_blocks=(jnp.asarray(woop_blocks)
+                     if "woop" in variants else None),
         order_blocks=jnp.asarray(
             order.astype(np.int32).reshape(c, cluster_size)
         ),
@@ -365,11 +412,14 @@ def build_cluster_accel(
         rest_blocks=rest_blocks,
         rest_ids=rest_ids_j,
         rest_attrs=rest_attrs,
+        grad_blocks=jnp.asarray(grad_rows),
+        rest_grad=rest_grad,
     )
 
 
 def _kernel_blocks_host(
-    tri_verts: np.ndarray, valid: np.ndarray, c: int, cs: int
+    tri_verts: np.ndarray, valid: np.ndarray, c: int, cs: int,
+    build_woop: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side (numpy) build of the Pallas kernel data blocks.
 
@@ -411,6 +461,9 @@ def _kernel_blocks_host(
         axis=1,
     ).astype(np.float32)  # [S, 12]
     pmt_blocks = pmt.reshape(c, cs, 12).transpose(0, 2, 1)
+
+    if not build_woop:
+        return tri_blocks, pmt_blocks, None
 
     n = np.cross(e1, e2)
     c23 = np.cross(e2, n)

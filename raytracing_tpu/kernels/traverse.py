@@ -94,6 +94,9 @@ VISIT_UNROLL = 1
 # Visit lists as a sliced VMEM operand instead of SMEM scalar-prefetch —
 # lifts the SMEM budget (no chunked launches at high tile counts).
 IDS_VMEM = False
+# Group cluster count beyond which the nearest walk enables the batched
+# front-to-back early exit (and the wider visit-list floor kicks in).
+_EARLY_EXIT_MIN_CLUSTERS = 2048
 DEFAULT_VARIANT = "pmt"
 _TINY = 1e-20
 _BIG_ID = 2 ** 30  # python int: kernels may not capture traced constants
@@ -233,7 +236,13 @@ def _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi, cluster_min,
     # (C tests/ray instead of cnt).
     keys = jnp.where(flags, t_near_lb, INF)
     nt, c = keys.shape
-    width = min(c, max(_MAX_VISITS,
+    # Width floor: _MAX_VISITS for small scenes; for LARGE cluster counts
+    # the overflow fallback costs C tests per overflowing tile (at 404k
+    # triangles, 1.2%% of tiles overflowing a 128-wide list was ~80%% of
+    # the whole traversal), so buy wider lists even when it forces
+    # chunked launches.
+    floor = _MAX_VISITS if c <= 2048 else 3 * _MAX_VISITS
+    width = min(c, max(floor,
                        _SMEM_IDS_BUDGET_BYTES // (4 * max(nt, 1)) // 8 * 8))
     neg, ids = jax.lax.top_k(-keys, width)
     cnt = jnp.sum(flags, axis=1, dtype=jnp.int32)
@@ -401,7 +410,8 @@ def _woop_tile_t(rays8t, blk, cs, eps, t_limit=None):
 
 def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                  eps, variant, nearest, t_max, n_attrs=0, unroll=1,
-                 per_ray_tmax=False, ray_tile=RAY_TILE, ids_vmem=False):
+                 per_ray_tmax=False, ray_tile=RAY_TILE, ids_vmem=False,
+                 early_exit=False):
     """Shared nearest/any-hit walk over the tile's visit list.
 
     Layout: everything is transposed so RAYS LIVE ON LANES and TRIANGLES
@@ -436,6 +446,13 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
     while the in-loop selects cost ~25%% of one intersection.
     """
     refs = list(refs)
+    if early_exit:
+        # With the tnear prefetch enabled, positional operand 3 is the
+        # per-tile entry-t table and the ray block shifts into refs[0].
+        tnear_ref = rays_ref
+        rays_ref = refs.pop(0)
+    else:
+        tnear_ref = None
     tmax_ref = refs.pop(0) if per_ray_tmax else None
     tri_ref = refs.pop(0)
     if n_attrs:
@@ -575,7 +592,44 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                 jnp.zeros((ku * cs, rt), dtype=jnp.float32)
                 for _ in range(n_attrs)
             )
-            acc = jax.lax.fori_loop(0, trips, body, acc0)
+            if early_exit:
+                # BATCHED front-to-back early exit for LARGE scenes: the
+                # visit list is entry-t ordered, so once every alive lane's
+                # best t is below the next entry's lower bound, no
+                # remaining cluster can improve any lane. A per-visit
+                # scalar check measured 4.5x slower (vector->scalar
+                # roundtrip stall); checking once per EC visits amortizes
+                # the stall to noise while interior tiles of a finely
+                # tessellated mesh stop after one or two batches instead
+                # of walking hundreds of silhouette near-misses.
+                # Overflow tiles scan unordered -> their nxt is -inf and
+                # they never exit early.
+                ec = 8
+                alive_lane = rays_ref[7:8, lo:lo + rt] != 0.0  # [1, RT]
+
+                def wcond(st):
+                    return (st[0] < trips) & jnp.logical_not(st[1])
+
+                def wbody(st):
+                    j = st[0]
+                    acc = st[2:]
+                    for _ in range(ec):
+                        acc = body(j, acc)
+                        j = j + 1
+                    per_lane = jnp.min(acc[0], axis=0, keepdims=True)
+                    worst = jnp.max(
+                        jnp.where(alive_lane, per_lane, -INF))
+                    nxt = jnp.where(
+                        overflow, -INF,
+                        tnear_ref[id_row, jnp.minimum(j * ku, width - 1)])
+                    return (j, worst < nxt) + acc
+
+                st = jax.lax.while_loop(
+                    wcond, wbody,
+                    (jnp.int32(0), jnp.bool_(False)) + acc0)
+                acc = st[2:]
+            else:
+                acc = jax.lax.fori_loop(0, trips, body, acc0)
             acc_t, acc_s = acc[0], acc[1]
             tmin = jnp.min(acc_t, axis=0, keepdims=True)  # [1, RT]
             # A clamped (repeated) visit can leave the SAME (t, slot) on
@@ -668,7 +722,7 @@ _SMEM_IDS_BUDGET_BYTES = 448 * 1024
 
 def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
                  tmax_row=None, ray_tile=RAY_TILE, subtiles=SUBTILES,
-                 ids_vmem=False):
+                 ids_vmem=False, tnear=None):
     """Launch the walk kernel, chunking ray tiles so the SMEM-resident
     visit lists stay inside budget at any ray count.
     `blocks` is a tuple of whole-array kernel inputs (triangle blocks,
@@ -678,15 +732,16 @@ def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
     through UNclamped — the kernel's overflow fallback needs the true
     count."""
     n_tiles, c = ids.shape
+    entry_bytes = 8 if tnear is not None else 4  # ids (+ tnear) per entry
     if ids_vmem:
         max_tiles = n_tiles  # no SMEM footprint -> no chunking needed
     else:
-        max_tiles = max(subtiles, _SMEM_IDS_BUDGET_BYTES // (4 * c)
+        max_tiles = max(subtiles, _SMEM_IDS_BUDGET_BYTES // (entry_bytes * c)
                         // subtiles * subtiles)
     if n_tiles <= max_tiles:
         return _launch_single(kernel, cnt, ids, rays8, blocks, interpret,
                               n_attrs, tmax_row, ray_tile, subtiles,
-                              ids_vmem)
+                              ids_vmem, tnear)
     pad_t = (-n_tiles) % max_tiles
     if pad_t:
         cnt = jnp.concatenate([cnt, jnp.zeros(pad_t, cnt.dtype)])
@@ -695,40 +750,49 @@ def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
         rays8 = jnp.concatenate(
             [rays8, jnp.broadcast_to(col, (8, pad_t * ray_tile))], axis=1
         )
+        if tnear is not None:
+            tnear = jnp.concatenate(
+                [tnear, jnp.full((pad_t, c), INF, tnear.dtype)])
         if tmax_row is not None:
             tmax_row = jnp.concatenate(
                 [tmax_row, jnp.zeros((1, pad_t * ray_tile),
                                      tmax_row.dtype)], axis=1)
     k = (n_tiles + pad_t) // max_tiles
-    mapped = (
-        cnt.reshape(k, max_tiles),
-        ids.reshape(k, max_tiles, c),
-        rays8.reshape(8, k, max_tiles * ray_tile).swapaxes(0, 1),
-    )
-    if tmax_row is not None:
-        mapped = mapped + (
-            tmax_row.reshape(1, k, max_tiles * ray_tile).swapaxes(0, 1),
-        )
-
-        def run(args):
-            return _launch_single(kernel, args[0], args[1], args[2], blocks,
-                                  interpret, n_attrs, args[3], ray_tile,
-                                  subtiles, ids_vmem)
-    else:
-        def run(args):
-            return _launch_single(kernel, args[0], args[1], args[2], blocks,
-                                  interpret, n_attrs, None, ray_tile,
-                                  subtiles, ids_vmem)
-    outs = jax.lax.map(run, mapped)
+    # Statically unrolled python loop (NOT lax.map): wrapping the
+    # pallas_call in a while-loop closed_call drops the per-kernel
+    # vmem_limit compiler param on this toolchain — resident block tables
+    # near the 96 MB budget then hit the default 16 MB scoped-vmem limit
+    # at compile time. k is small (SMEM chunking only triggers at high
+    # tile counts), so unrolling costs a few extra launches, not a
+    # program-size blowup.
+    chunks = []
+    for j in range(k):
+        cnt_j = jax.lax.dynamic_slice_in_dim(cnt, j * max_tiles, max_tiles)
+        ids_j = jax.lax.dynamic_slice_in_dim(ids, j * max_tiles, max_tiles)
+        rays_j = jax.lax.dynamic_slice_in_dim(
+            rays8, j * max_tiles * ray_tile, max_tiles * ray_tile, axis=1)
+        tmax_j = None
+        if tmax_row is not None:
+            tmax_j = jax.lax.dynamic_slice_in_dim(
+                tmax_row, j * max_tiles * ray_tile, max_tiles * ray_tile,
+                axis=1)
+        tnear_j = None
+        if tnear is not None:
+            tnear_j = jax.lax.dynamic_slice_in_dim(tnear, j * max_tiles,
+                                                   max_tiles)
+        chunks.append(_launch_single(kernel, cnt_j, ids_j, rays_j, blocks,
+                                     interpret, n_attrs, tmax_j, ray_tile,
+                                     subtiles, ids_vmem, tnear_j))
     rp = n_tiles * ray_tile
     return tuple(
-        o.swapaxes(0, 1).reshape(o.shape[1], -1)[:, :rp] for o in outs
+        jnp.concatenate([ch[i] for ch in chunks], axis=1)[:, :rp]
+        for i in range(len(chunks[0]))
     )
 
 
 def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
                    tmax_row=None, ray_tile=RAY_TILE, subtiles=SUBTILES,
-                   ids_vmem=False):
+                   ids_vmem=False, tnear=None):
     rp = rays8.shape[1]
     step = ray_tile * subtiles
     n_steps = rp // step
@@ -740,6 +804,10 @@ def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
         n_prefetch = 1
         in_specs = [pl.BlockSpec((subtiles, w), lambda i, *_: (i, 0))]
         operands = (cnt, ids)
+    elif tnear is not None:
+        n_prefetch = 3
+        in_specs = []
+        operands = (cnt, ids, tnear)
     else:
         n_prefetch = 2
         in_specs = []
@@ -823,48 +891,88 @@ _lazy_t.defvjp(_lazy_t_fwd, _lazy_t_bwd)
 
 
 @jax.custom_vjp
-def _lazy_attrs(normals, colors, materials, order, obj_id, slot, hit,
-                attrs_k):
-    """Forward = the kernel-accumulated attribute rows (zero extra cost);
-    backward = vjp of the equivalent table gathers, so gradients reach the
-    live normals/colors/materials tables without the forward pass ever
-    paying the serial per-ray gather."""
-    return attrs_k
+def _lazy_shaded(verts, normals, colors, materials, o, d, rays8, tri_v,
+                 accel, hit, t_k, attrs_k):
+    """Forward = the kernel's (t, attrs) values, zero extra cost.
+    Backward = ONE grad-planes walk (grad_planes_soa) + elementwise
+    re-derivation + sorted segment reductions — no ray-count-sized
+    gathers or conflict-serialized scatters anywhere. Gradients reach
+    verts (via the re-derived Möller–Trumbore t), normals, colors,
+    materials, and the ray origins/directions; traversal decisions stay
+    detached (SURVEY.md §7)."""
+    return t_k, attrs_k
 
 
-def _lazy_attrs_fwd(normals, colors, materials, order, obj_id, slot, hit,
-                    attrs_k):
-    return attrs_k, (normals, colors, materials, order, obj_id, slot, hit)
+def _lazy_shaded_fwd(verts, normals, colors, materials, o, d, rays8, tri_v,
+                     accel, hit, t_k, attrs_k):
+    return (t_k, attrs_k), (o, d, rays8, tri_v, accel, hit,
+                            verts.shape[0], normals.shape[0],
+                            materials.shape[0])
 
 
-def _lazy_attrs_bwd(res, g):
-    normals, colors, materials, order, obj_id, slot, hit = res
-    # Hand-written transpose: the attrs are plain gathers, so their vjp is
-    # three scatter-adds. Writing them directly (instead of jax.vjp of the
-    # gather expression) skips re-running ~9 serial gather columns in
-    # backward — only the two unavoidable id gathers remain.
-    # Dead lanes get an OUT-OF-BOUNDS target and mode='drop': scattering
-    # their (zero) contributions into a shared row 0 serializes the
-    # scatter on that row's conflicts, and most bounce-level lanes are
-    # dead.
+def _lazy_shaded_bwd(res, cots):
     from raytracing_tpu.ops.scatter import segment_scatter_add
 
-    t_rows = normals.shape[0]
-    idv = jnp.where(hit, order[jnp.where(hit, slot, 0)], t_rows)
-    gm = jnp.where(hit[:, None], g, 0.0)
-    obj = jnp.where(hit, obj_id[jnp.where(hit, idv, 0)],
-                    materials.shape[0])
-    # dn and dc share the index vector — one sorted reduction covers both
-    # 6 columns; dm reduces separately over the (tiny) object id space.
+    g_t, g_a = cots  # [R], [R, A9]
+    o, d, rays8, tri_v, accel, hit, n_v, t_rows, n_obj = res
+    _, planes = grad_planes_soa(accel, rays8)
+    v0 = planes[0:3].T
+    e1p = planes[3:6].T
+    e2p = planes[6:9].T
+    triid = planes[9].astype(jnp.int32)
+    obj = planes[10].astype(jnp.int32)
+
+    def t_math(va_, vb_, vc_, o_, d_):
+        t_d, _ = moller_trumbore(
+            o_, d_, TriangleSoA(va_, vb_ - va_, vc_ - va_), INF, 1e-8)
+        return jnp.where(hit & jnp.isfinite(t_d), t_d, 0.0)
+
+    va, vb, vc = v0, v0 + e1p, v0 + e2p
+    _, vjp = jax.vjp(t_math, va, vb, vc, o, d)
+    dva, dvb, dvc, do, dd = vjp(jnp.where(hit, g_t, 0.0))
+    # rays -> per-(corner, triangle) -> vertex pool: two sorted segment
+    # reductions; dead/miss lanes target the drop buckets.
+    t3 = 3 * t_rows
+    idx3 = jnp.concatenate(
+        [jnp.where(hit, triid + k * t_rows, t3) for k in range(3)])
+    dv3 = jnp.concatenate([dva, dvb, dvc], axis=0)
+    dtri = segment_scatter_add(t3, idx3, dv3)  # [3T, 3]
+    flat_targets = jnp.concatenate(
+        [tri_v[:, 0], tri_v[:, 1], tri_v[:, 2]]).astype(jnp.int32)
+    dverts = segment_scatter_add(n_v, flat_targets, dtri)
+    # attrs: normal/color rows route by triangle id, material by object.
+    gm = jnp.where(hit[:, None], g_a, 0.0)
+    idv = jnp.where(hit, triid, t_rows)
+    objv = jnp.where(hit, obj, n_obj)
     dnc = segment_scatter_add(t_rows, idv, gm[:, 0:6])
-    dn = dnc[:, 0:3].astype(normals.dtype)
-    dc = dnc[:, 3:6].astype(colors.dtype)
-    dm = segment_scatter_add(materials.shape[0], obj,
-                             gm[:, 6:9]).astype(materials.dtype)
-    return dn, dc, dm, None, None, None, None, None
+    dm = segment_scatter_add(n_obj, objv, gm[:, 6:9])
+    none_accel = jax.tree_util.tree_map(lambda _: None, accel)
+    return (dverts, dnc[:, 0:3], dnc[:, 3:6], dm, do, dd, None, None,
+            none_accel, None, None, None)
 
 
-_lazy_attrs.defvjp(_lazy_attrs_fwd, _lazy_attrs_bwd)
+_lazy_shaded.defvjp(_lazy_shaded_fwd, _lazy_shaded_bwd)
+
+
+def grad_planes_soa(accel, rays8, eps=1e-8, interpret=None,
+                    variant=DEFAULT_VARIANT):
+    """BACKWARD-ONLY nearest-hit walk emitting the winning triangle's
+    v0(3) | e1(3) | e2(3) | tri_id | obj_id planes (accel.grad_blocks).
+    One extra traversal (~ms) replaces ~12 ray-count-sized serial gathers
+    (~hundreds of ms at wavefront sizes) in the lazy VJP. Deterministic:
+    the winner matches the forward walk exactly (same min/tie rules).
+    Returns (t [N], planes [11, N]); planes are 0 on miss lanes except
+    that callers must mask by their own hit/cotangent anyway."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    rays8 = jax.lax.stop_gradient(rays8)
+    rp, r = _pad_rays_soa(rays8)
+    t, slot, planes = _walk_groups(accel, rp, eps, interpret, variant,
+                                   nearest=True, t_max=float("inf"),
+                                   n_attrs=11, attr_kind="grad")
+    t, slot, planes = _merge_rest_nearest(accel, rp, t, slot, planes, eps,
+                                          11, attr_kind="grad")
+    return t[0, :r], planes[:, :r]
 
 
 # ---------------------------------------------------------------------------
@@ -872,8 +980,15 @@ _lazy_attrs.defvjp(_lazy_attrs_fwd, _lazy_attrs_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _attr_table(accel: ClusterAccel, variant: str, attr_kind: str):
+    if attr_kind == "grad":
+        return accel.grad_blocks
+    return (accel.attr_t_blocks if variant == "pmtt"
+            else accel.attr_blocks)
+
+
 def _vmem_group_clusters(accel: ClusterAccel, variant: str,
-                         n_attrs: int) -> int:
+                         n_attrs: int, attr_kind: str = "shade") -> int:
     """Max clusters whose kernel blocks fit the VMEM budget at once.
     VMEM pads each cluster's [rows, CS] block to [ceil(rows/8)*8,
     ceil(CS/128)*128] floats."""
@@ -888,13 +1003,12 @@ def _vmem_group_clusters(accel: ClusterAccel, variant: str,
               "pmtt": accel.pmt_t_blocks}.get(variant, accel.tri_blocks)
     b = per_cluster(blocks)
     if n_attrs:
-        b += per_cluster(accel.attr_t_blocks if variant == "pmtt"
-                         else accel.attr_blocks)
+        b += per_cluster(_attr_table(accel, variant, attr_kind))
     return max(256, _PALLAS_BLOCK_BUDGET_BYTES // b)
 
 
 def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
-                 n_attrs, tmax_row=None):
+                 n_attrs, tmax_row=None, attr_kind="shade"):
     """Phase 1-3 over the cluster set, split into VMEM-sized groups when
     the scene's kernel blocks exceed the resident budget (the >VMEM path:
     each group is one ordinary resident-block walk; per-ray results merge
@@ -904,23 +1018,32 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
     nearest queries; (t, occ, None) for occlusion queries."""
     cs = accel.cluster_size
     c_total = accel.num_clusters
-    gsz = _vmem_group_clusters(accel, variant, n_attrs)
+    gsz = _vmem_group_clusters(accel, variant, n_attrs, attr_kind)
     all_blocks = {"woop": accel.woop_blocks,
                   "pmt": accel.pmt_blocks,
                   "pmtt": accel.pmt_t_blocks}.get(variant, accel.tri_blocks)
-    all_attrs = (accel.attr_t_blocks if variant == "pmtt"
-                 else accel.attr_blocks)
-    kern = functools.partial(
-        _walk_kernel, cluster_size=cs, eps=eps, variant=variant,
-        nearest=nearest, t_max=t_max, n_attrs=n_attrs,
-        unroll=VISIT_UNROLL, per_ray_tmax=tmax_row is not None,
-        ray_tile=RAY_TILE, ids_vmem=IDS_VMEM,
-    )
+    if all_blocks is None:
+        raise ValueError(
+            f"variant {variant!r} blocks were not built for this accel "
+            "(build_cluster_accel(..., variants=...))")
+    all_attrs = _attr_table(accel, variant, attr_kind)
     t_cap = t_max if (nearest and t_max != float("inf")) else None
     best = None
     for lo in range(0, c_total, gsz):
         hi = min(lo + gsz, c_total)
-        ids, _, cnt = _tile_visit_lists_soa(
+        # Batched front-to-back early exit pays once a group's cluster
+        # count makes silhouette near-miss walks long (finely tessellated
+        # scenes); for small scenes the per-batch scalar check costs more
+        # than the 1-2 visits it could skip.
+        early = (nearest and tmax_row is None
+                 and (hi - lo) > _EARLY_EXIT_MIN_CLUSTERS)
+        kern = functools.partial(
+            _walk_kernel, cluster_size=cs, eps=eps, variant=variant,
+            nearest=nearest, t_max=t_max, n_attrs=n_attrs,
+            unroll=VISIT_UNROLL, per_ray_tmax=tmax_row is not None,
+            ray_tile=RAY_TILE, ids_vmem=IDS_VMEM, early_exit=early,
+        )
+        ids, tnear, cnt = _tile_visit_lists_soa(
             rp, accel.cluster_min[lo:hi], accel.cluster_max[lo:hi],
             RAY_TILE, interpret=interpret, t_cap=t_cap)
         blocks = (all_blocks[lo:hi],)
@@ -929,7 +1052,8 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
         out = _launch_walk(kern, cnt, ids, rp, blocks, interpret,
                            n_attrs=n_attrs, tmax_row=tmax_row,
                            ray_tile=RAY_TILE, subtiles=SUBTILES,
-                           ids_vmem=IDS_VMEM)
+                           ids_vmem=IDS_VMEM,
+                           tnear=tnear if early else None)
         if nearest:
             t_g, s_g = out[0], out[1] + lo * cs
             a_g = out[2] if n_attrs else None
@@ -959,7 +1083,8 @@ def _rest_soa(accel):
     return TriangleSoA(v0=rb[:, 0:3], e1=rb[:, 3:6], e2=rb[:, 6:9])
 
 
-def _merge_rest_nearest(accel, rays8, t, slot, attrs, eps, n_attrs):
+def _merge_rest_nearest(accel, rays8, t, slot, attrs, eps, n_attrs,
+                        attr_kind="shade"):
     """Fold the rest set (ClusterAccel.rest_blocks — small objects handled
     densely, the reference's rest_tri tail loop, opt.rs:69-72) into the
     kernel's per-ray nearest results. t/slot/attrs are [1|A, N] rows; the
@@ -983,10 +1108,10 @@ def _merge_rest_nearest(accel, rays8, t, slot, attrs, eps, n_attrs):
     t = jnp.minimum(t, tmin[None, :])
     slot = jnp.where(better, s_total + jarg[None, :], slot)
     if n_attrs:
+        tbl = accel.rest_grad if attr_kind == "grad" else accel.rest_attrs
         row = jnp.zeros((n_attrs, t.shape[1]), dtype=t.dtype)
         for j in range(rr):
-            row = jnp.where((jarg == j)[None, :],
-                            accel.rest_attrs[j][:, None], row)
+            row = jnp.where((jarg == j)[None, :], tbl[j][:, None], row)
         attrs = jnp.where(better, row, attrs)
     return t, slot, attrs
 
@@ -1177,8 +1302,8 @@ def nearest_hit_shaded(
     ids, not original triangle ids — resolving originals costs a serial
     per-ray gather (~19.5 ms / 2.56 M rays) that this path exists to avoid.
     Both t and attrs are differentiable via lazy re-derivation backward
-    (_lazy_t over the packed triangle table, _lazy_attrs over the live
-    normal/color/material tables)."""
+    (_lazy_shaded: backward re-runs the walk with the grad planes and
+    routes cotangents by sorted segment reductions)."""
     sg = jax.lax.stop_gradient
     rays8 = rays_to_soa(sg(o), sg(d), alive=alive)
     t_k, slot, attrs_k = nearest_hit_attrs_soa(accel, rays8, eps, interpret,
@@ -1198,12 +1323,10 @@ def nearest_hit_shaded(
             rest = jnp.where(obj[None, :] == k, tbl[k][:, None], rest)
         rest = jnp.where(hit[None, :], rest, 0.0)
         attrs_k = jnp.concatenate([attrs_k[:3], rest], axis=0)
-    # Packed triangle table: an S-sized (scene-sized, not ray-sized) gather.
-    tv_packed = sg(mesh.tri_v)[sg(accel.order_ext)]
-    t = _lazy_t(mesh.verts, o, d, tv_packed, slot_safe, hit, t_k)
-    attrs = _lazy_attrs(mesh.normals, mesh.colors, mesh.materials,
-                        accel.order_ext, sg(mesh.obj_id), slot_safe, hit,
-                        attrs_k.T)
+    t, attrs = _lazy_shaded(
+        mesh.verts, mesh.normals, mesh.colors, mesh.materials, o, d,
+        rays8, sg(mesh.tri_v), jax.tree_util.tree_map(sg, accel), hit,
+        t_k, attrs_k.T)
     return Hit(t=t, tri=slot_safe, hit=hit), attrs
 
 

@@ -134,3 +134,29 @@ def test_visit_list_overflow_fallback(setup, rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(hp.hit))
     m = np.asarray(hb.hit)
     np.testing.assert_array_equal(np.asarray(hb.tri)[m], np.asarray(hp.tri)[m])
+
+
+def test_pallas_large_scene_early_exit_matches_oracle(rng):
+    # >2048 clusters triggers the wider visit lists + batched front-to-back
+    # early exit; results must still match the oracle exactly.
+    from raytracing_tpu.geometry.scene import subdivided_teapot_mesh
+    from raytracing_tpu.geometry.mesh import triangle_soa
+    from raytracing_tpu.ops.trace import nearest_hit_brute
+    from raytracing_tpu.kernels import traverse as tr
+
+    mesh = subdivided_teapot_mesh(levels=2)  # 101k tris
+    accel = build_cluster_accel(mesh, cluster_size=16)
+    assert accel.num_clusters > tr._EARLY_EXIT_MIN_CLUSTERS
+    n = 64
+    o = jnp.zeros((n, 3))
+    tgt = np.array([0.0, 0.0, 3.0]) + rng.normal(size=(n, 3)) * 1.2
+    d = jnp.asarray(tgt.astype(np.float32))
+    hp = nearest_hit_pallas(mesh, accel, o, d, interpret=True)
+    hb = nearest_hit_brute(triangle_soa(mesh.verts, mesh.tri_v), o, d)
+    m = np.asarray(hb.hit)
+    assert m.any() and not m.all()
+    np.testing.assert_array_equal(m, np.asarray(hp.hit))
+    np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hb.t)[m],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(hp.tri)[m],
+                                  np.asarray(hb.tri)[m])
