@@ -115,6 +115,11 @@ def cmd_animate(args) -> None:
 
     cfg, scene, accel = _build(args)
     fps = RateMeter("fps")
+    viewer = None
+    if getattr(args, "live", False):
+        from raytracing_tpu.utils.term_view import TermViewer
+
+        viewer = TermViewer(max_cols=getattr(args, "live_cols", 100))
     render_jit = jax.jit(
         lambda mesh, sun, key: render(
             Scene(mesh=mesh, sun=sun), cfg, accel=accel, key=key
@@ -126,7 +131,13 @@ def cmd_animate(args) -> None:
         sun = sun_position(t)
         img = render_jit(scene.mesh, sun, jax.random.PRNGKey(frame))
         img.block_until_ready()
-        fps.tick()
+        # In live mode the fps line rides the viewer's status bar instead
+        # of scrolling the animation away.
+        fps.tick(emit=None if viewer is not None else print)
+        if viewer is not None:
+            rate = f"{fps.last_rate:.2f}" if fps.last_rate else "..."
+            viewer.show(np.asarray(img),
+                        status=f"frame {frame}  t={t:6.2f}s  fps {rate}")
         if args.out_pattern:
             write_png(args.out_pattern.format(frame=frame), np.asarray(img))
     total = time.perf_counter() - start
@@ -222,6 +233,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--frames", type=int, default=10)
     sp.add_argument("--out-pattern", default=None,
                     help="e.g. out/frame_{frame:03d}.png")
+    sp.add_argument("--live", action="store_true",
+                    help="ANSI truecolor live view in the terminal (the "
+                         "reference's window, headless)")
+    sp.add_argument("--live-cols", type=int, default=100,
+                    help="max terminal columns for --live")
     sp.set_defaults(fn=cmd_animate)
 
     sp = sub.add_parser("bench", help="headline rays/s benchmark")

@@ -76,6 +76,12 @@ class RenderConfig:
     # first saves — the coarse-cell/fine-cone bounce binning
     # (binning.bounce_bin_key) is what actually tames GI tiles there.
     gi_cap_frac: float = 0.0
+    # Force the walk kernel's batched front-to-back early exit for bounce
+    # (depth>1) nearest queries (pallas backend only). GI tiles walk
+    # 350-640 of ~790 teapot clusters, so skipping the tail after the
+    # first hit batch can pay even on scenes below the kernel's automatic
+    # large-scene threshold. Exact either way (entry-t lower bounds).
+    gi_early_exit: bool = True
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -1008,7 +1008,8 @@ def _vmem_group_clusters(accel: ClusterAccel, variant: str,
 
 
 def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
-                 n_attrs, tmax_row=None, attr_kind="shade"):
+                 n_attrs, tmax_row=None, attr_kind="shade",
+                 early_exit=None):
     """Phase 1-3 over the cluster set, split into VMEM-sized groups when
     the scene's kernel blocks exceed the resident budget (the >VMEM path:
     each group is one ordinary resident-block walk; per-ray results merge
@@ -1031,12 +1032,18 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
     best = None
     for lo in range(0, c_total, gsz):
         hi = min(lo + gsz, c_total)
-        # Batched front-to-back early exit pays once a group's cluster
-        # count makes silhouette near-miss walks long (finely tessellated
-        # scenes); for small scenes the per-batch scalar check costs more
-        # than the 1-2 visits it could skip.
+        # Batched front-to-back early exit pays once visit lists get long:
+        # by default when a group's cluster count makes silhouette
+        # near-miss walks long (finely tessellated scenes); for small
+        # scenes the per-batch scalar check costs more than the 1-2 visits
+        # it could skip. Callers who KNOW their batch walks long lists on
+        # a small scene (hemispherically divergent GI bounces visit
+        # 350-640 of ~790 teapot clusters) override with early_exit=True.
+        # Occlusion and per-ray-tmax queries never exit early (no
+        # front-to-back ordering contract).
         early = (nearest and tmax_row is None
-                 and (hi - lo) > _EARLY_EXIT_MIN_CLUSTERS)
+                 and ((hi - lo) > _EARLY_EXIT_MIN_CLUSTERS
+                      if early_exit is None else bool(early_exit)))
         kern = functools.partial(
             _walk_kernel, cluster_size=cs, eps=eps, variant=variant,
             nearest=nearest, t_max=t_max, n_attrs=n_attrs,
@@ -1172,6 +1179,7 @@ def nearest_hit_attrs_soa(
     interpret: bool | None = None,
     variant: str = DEFAULT_VARIANT,
     t_cap: float | None = None,
+    early_exit: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Nearest hit over the SoA ray pack, with the winning triangle's
     shading attributes accumulated IN the kernel (see _walk_kernel). Returns
@@ -1196,20 +1204,21 @@ def nearest_hit_attrs_soa(
     if t_cap is None:
         t_k, slot, attrs = _walk_groups(accel, rp, eps, interpret, variant,
                                         nearest=True, t_max=float("inf"),
-                                        n_attrs=n_attrs)
+                                        n_attrs=n_attrs,
+                                        early_exit=early_exit)
         t_k, slot, attrs = _merge_rest_nearest(accel, rp, t_k, slot, attrs,
                                                eps, n_attrs)
         return t_k[0, :r], slot[0, :r], attrs[:, :r]
     t1, s1, a1 = _walk_groups(accel, rp, eps, interpret, variant,
                               nearest=True, t_max=float(t_cap),
-                              n_attrs=n_attrs)
+                              n_attrs=n_attrs, early_exit=early_exit)
     t1, s1, a1 = _merge_rest_nearest(accel, rp, t1, s1, a1, eps, n_attrs)
     done = t1 < t_cap  # [1, rp]; rest hits beyond cap do NOT settle a ray
     alive2 = (rp[7:8, :] != 0.0) & ~done
     rp2 = jnp.concatenate([rp[:7], alive2.astype(rp.dtype)], axis=0)
     t2, s2, a2 = _walk_groups(accel, rp2, eps, interpret, variant,
                               nearest=True, t_max=float("inf"),
-                              n_attrs=n_attrs)
+                              n_attrs=n_attrs, early_exit=early_exit)
     # Survivors may still be beaten by their (full-range) rest candidate
     # already merged into pass 1: keep the elementwise nearest of both.
     better2 = t2 < t1
@@ -1292,6 +1301,7 @@ def nearest_hit_shaded(
     variant: str = DEFAULT_VARIANT,
     alive: jnp.ndarray | None = None,
     t_cap: float | None = None,
+    early_exit: bool | None = None,
 ) -> Tuple[Hit, jnp.ndarray]:
     """The renderer's gather-free fast path: nearest hit + the winning
     triangle's shading attributes straight out of the kernel. Returns
@@ -1307,7 +1317,8 @@ def nearest_hit_shaded(
     sg = jax.lax.stop_gradient
     rays8 = rays_to_soa(sg(o), sg(d), alive=alive)
     t_k, slot, attrs_k = nearest_hit_attrs_soa(accel, rays8, eps, interpret,
-                                               variant, t_cap=t_cap)
+                                               variant, t_cap=t_cap,
+                                               early_exit=early_exit)
     hit = jnp.isfinite(t_k)
     slot_safe = jnp.where(hit, slot, 0)
     if accel.attr_tables is not None:

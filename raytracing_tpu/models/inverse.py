@@ -65,6 +65,9 @@ def fit(
     key: Optional[jax.Array] = None,
     callback: Optional[Callable[[int, float], None]] = None,
     rebuild_every: int = 0,
+    retries: int = 0,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
 ) -> FitResult:
     """Stochastic inverse rendering: every step samples a random batch of
     primary rays, renders them with the current parameters, and descends the
@@ -76,7 +79,15 @@ def fit(
     Geometry (verts/pose) additionally goes stale in the accel's BOUNDS
     and triangle blocks; set rebuild_every=k (>0) to host-rebuild the
     structure every k steps when fitting geometry with an accel backend
-    (the standard refit contract, see ClusterAccel)."""
+    (the standard refit contract, see ClusterAccel).
+
+    Elastic recovery: retries>0 runs every step through
+    utils.resilience.with_retry (transient XLA runtime faults are
+    retried with backoff); with checkpoint_path set, unrecoverable
+    device loss snapshots (params, opt_state, step) there before
+    raising DeviceLost, and checkpoint_every=k also snapshots every k
+    steps — a restarted process resumes via utils.checkpoint.load /
+    `fit --resume` (SURVEY.md §5: the reference has no persistence)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     opt = optimizer or optax.adam(learning_rate)
@@ -118,6 +129,17 @@ def fit(
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    supervisor = None
+    if retries > 0 or checkpoint_path:
+        from raytracing_tpu.utils.resilience import Supervisor
+
+        # The closure reads the loop's live (params, opt_state) bindings
+        # at snapshot time — always the latest completed step.
+        supervisor = Supervisor(
+            checkpoint_path or "fit_recovery.npz",
+            state_fn=lambda: {"params": params, "opt_state": opt_state},
+            retries=max(retries, 1), checkpoint_every=checkpoint_every)
+
     losses = []
     for i in range(steps):
         if (accel is not None and geo_params and rebuild_every > 0
@@ -128,7 +150,14 @@ def fit(
                 pose_obj)
             accel = build_cluster_accel(mesh_i, accel.cluster_size)
         key, ks = jax.random.split(key)
-        params, opt_state, loss = step_fn(params, opt_state, ks, accel)
+        if supervisor is None:
+            params, opt_state, loss = step_fn(params, opt_state, ks, accel)
+        else:
+            # block inside the retry barrier: device faults surface at
+            # materialization, not dispatch.
+            params, opt_state, loss = supervisor.run_step(
+                lambda: jax.block_until_ready(
+                    step_fn(params, opt_state, ks, accel)))
         losses.append(float(loss))
         if callback:
             callback(i, losses[-1])

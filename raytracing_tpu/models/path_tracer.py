@@ -84,7 +84,10 @@ def trace_paths(
             kb_ = bounce_bin_key(o, d, lo_, hi_, alive)
             _, (o, d, alive, throughput, radiance, orig) = bin_sort(
                 kb_, o, d, alive, throughput, radiance, orig)
-        h, attrs = nearest_hit_shaded(mesh, accel, o, d, config, alive=alive)
+        h, attrs = nearest_hit_shaded(
+            mesh, accel, o, d, config, alive=alive,
+            early_exit=(True if bounce > 0 and config.gi_early_exit
+                        else None))
         sh = shade(mesh, accel, sun, o, d, h, config, attrs=attrs)
         hit = h.hit & alive
         # Miss -> sky, path ends.

@@ -259,9 +259,11 @@ def render_rays(
             lo_, hi_ = scene_bounds(accel)
             k = bounce_bin_key(o_l, d_l, lo_, hi_, alive_l)
             sidx, (o_l, d_l, alive_l) = bin_sort(k, o_l, d_l, alive_l)
-        h, attrs = nearest_hit_shaded(mesh, accel, o_l, d_l, config,
-                                      alive=alive_l,
-                                      t_cap=t_cap if depth > 1 else None)
+        h, attrs = nearest_hit_shaded(
+            mesh, accel, o_l, d_l, config, alive=alive_l,
+            t_cap=t_cap if depth > 1 else None,
+            early_exit=(True if depth > 1 and config.gi_early_exit
+                        else None))
         sh = shade(mesh, accel, sun, o_l, d_l, h, config, attrs=attrs)
         direct = sh.direct
         if lights is not None:

@@ -61,6 +61,7 @@ def nearest_hit_shaded(
     config: RenderConfig,
     alive: Optional[jnp.ndarray] = None,
     t_cap: Optional[float] = None,
+    early_exit: Optional[bool] = None,
 ):
     """Nearest hit plus (on the pallas backend) the winning triangle's
     shading attributes accumulated inside the kernel — the gather-free hot
@@ -77,7 +78,7 @@ def nearest_hit_shaded(
         )
 
         return _shaded(mesh, accel, o, d, config.eps, alive=alive,
-                       t_cap=t_cap)
+                       t_cap=t_cap, early_exit=early_exit)
     return nearest_hit(mesh, accel, o, d, config, alive=alive), None
 
 

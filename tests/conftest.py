@@ -22,6 +22,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's cost is dominated by CPU
+# XLA compiles of big programs (shard_map value_and_grad of the renderer
+# alone is ~10 min cold); caching them makes repeat runs (CI, the driver's
+# round-end run, local iteration) mostly execution-bound. Keyed on HLO
+# hash, so code changes invalidate exactly the affected programs.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_pytest_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except AttributeError:  # older jax without the persistent cache flags
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -90,7 +90,7 @@ def test_grouped_walk_matches_single_group():
     scene = build_default_scene(t=0.0)
     accel = pk.build_cluster_accel(scene.mesh, cluster_size=16)
     rng = np.random.default_rng(0)
-    n = 1024
+    n = 256  # interpret-mode walks dominate this test's wall time
     o = jnp.zeros((n, 3))
     th = rng.uniform(-0.5, 0.5, n)
     ph = rng.uniform(-0.2, 0.5, n)

