@@ -149,3 +149,29 @@ def test_grad_cluster_backend_matches_brute():
     )(scene.mesh.verts)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gc), rtol=1e-4,
                                atol=1e-7)
+
+
+def test_grad_pallas_backend_matches_brute():
+    """The pallas backend's hand-written _lazy_shaded backward (grad-planes
+    walk + sorted segment reductions) must reproduce the bruteforce
+    backend's gradients for every parameter table."""
+    scene = _tri_scene()
+    o, d = _rays()
+    accel = build_cluster_accel(scene.mesh, cluster_size=8)
+    cfg_p = dataclasses.replace(CFG, backend="pallas")
+
+    def loss_with(backend_cfg, acc):
+        def f(verts, colors, materials):
+            mesh = scene.mesh._replace(
+                verts=verts, colors=colors, materials=materials)
+            rgb = render_rays(mesh, acc, scene.sun, o, d,
+                              jax.random.PRNGKey(0), backend_cfg)
+            return jnp.sum(rgb * jnp.array([0.3, 0.5, 0.2]))
+        return f
+
+    args = (scene.mesh.verts, scene.mesh.colors, scene.mesh.materials)
+    gb = jax.grad(loss_with(CFG, None), argnums=(0, 1, 2))(*args)
+    gp = jax.grad(loss_with(cfg_p, accel), argnums=(0, 1, 2))(*args)
+    for b, p, name in zip(gb, gp, ("verts", "colors", "materials")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(p), rtol=2e-4,
+                                   atol=1e-7, err_msg=name)
