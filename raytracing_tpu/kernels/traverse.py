@@ -189,8 +189,55 @@ def _tile_visit_lists_soa(rays8, cluster_min, cluster_max, rt,
     return ids, tnear, cnt
 
 
+# Two-level phase 1: above this cluster count, interval-test tile frustums
+# against SUPERCELLS (groups of _SUPERCELL_G consecutive clusters — the
+# median-split order makes consecutive runs spatially compact) and expand
+# the surviving supercells to their member clusters arithmetically. Cuts
+# the dense [tiles, C] interval math and the width-C top_k to [tiles, S]
+# at S = C/G, at the price of coarser selection (every member of a hit
+# supercell is walked; the in-kernel front-to-back early exit prunes the
+# excess). Set _SUPERCELL_MIN_C = None to disable.
+_SUPERCELL_MIN_C = 4096
+_SUPERCELL_G = 8
+
+
 def _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi, cluster_min,
                               cluster_max, t_cap=None):
+    c = cluster_min.shape[0]
+    if _SUPERCELL_MIN_C is not None and c > _SUPERCELL_MIN_C:
+        g = _SUPERCELL_G
+        pad = (-c) % g
+        big = jnp.float32(3e38)
+        cmin, cmax = cluster_min, cluster_max
+        if pad:
+            # Inverted boxes: padding members can only appear inside a
+            # real supercell's tail and are clamped to c-1 below.
+            cmin = jnp.concatenate([cmin, jnp.full((pad, 3), big)], axis=0)
+            cmax = jnp.concatenate([cmax, jnp.full((pad, 3), -big)], axis=0)
+        s = cmin.shape[0] // g
+        sc_min = cmin.reshape(s, g, 3).min(axis=1)
+        sc_max = jnp.where(
+            cmax.reshape(s, g, 3).max(axis=1) < cmin.reshape(s, g, 3)
+            .min(axis=1), -big, cmax.reshape(s, g, 3).max(axis=1))
+        ids_s, tnear_s, cnt_s = _visit_lists_single(
+            o_lo, o_hi, d_lo, d_hi, sc_min, sc_max, t_cap=t_cap,
+            entry_cost=g)
+        nt, ws = ids_s.shape
+        member = jax.lax.broadcasted_iota(jnp.int32, (nt, ws, g), 2)
+        ids = jnp.minimum(ids_s[:, :, None] * g + member, c - 1)
+        ids = ids.reshape(nt, ws * g)
+        # Member entry-t = the supercell's entry lower bound: still a
+        # valid per-cluster lower bound, so the kernel's front-to-back
+        # early exit stays exact.
+        tnear = jnp.broadcast_to(tnear_s[:, :, None],
+                                 (nt, ws, g)).reshape(nt, ws * g)
+        return ids.astype(jnp.int32), tnear, cnt_s * g
+    return _visit_lists_single(o_lo, o_hi, d_lo, d_hi, cluster_min,
+                               cluster_max, t_cap=t_cap)
+
+
+def _visit_lists_single(o_lo, o_hi, d_lo, d_hi, cluster_min,
+                        cluster_max, t_cap=None, entry_cost=1):
     # All arrays here are kept 2-D [nt, C] (clusters on the lane axis) by
     # unrolling the xyz loop in Python: a fused [nt, C, 3] formulation pads
     # its minor dim 3 -> 128 in every materialized intermediate (measured
@@ -241,9 +288,13 @@ def _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi, cluster_min,
     # triangles, 1.2%% of tiles overflowing a 128-wide list was ~80%% of
     # the whole traversal), so buy wider lists even when it forces
     # chunked launches.
-    floor = _MAX_VISITS if c <= 2048 else 3 * _MAX_VISITS
-    width = min(c, max(floor,
-                       _SMEM_IDS_BUDGET_BYTES // (4 * max(nt, 1)) // 8 * 8))
+    floor = _MAX_VISITS if c * entry_cost <= 2048 else 3 * _MAX_VISITS
+    # entry_cost > 1 (supercell mode): every selected id expands to
+    # entry_cost list entries downstream, so both the floor and the SMEM
+    # budget are expressed in FINAL entries and divided back down here.
+    width = min(c, max(floor // entry_cost,
+                       _SMEM_IDS_BUDGET_BYTES
+                       // (4 * max(nt, 1) * entry_cost) // 8 * 8))
     neg, ids = jax.lax.top_k(-keys, width)
     cnt = jnp.sum(flags, axis=1, dtype=jnp.int32)
     return ids.astype(jnp.int32), -neg, cnt

@@ -136,6 +136,28 @@ def test_visit_list_overflow_fallback(setup, rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(hb.tri)[m], np.asarray(hp.tri)[m])
 
 
+def test_supercell_phase1_matches_oracle(setup, rng, monkeypatch):
+    """Two-level phase 1 (supercell grouping, normally >4096 clusters)
+    must stay exact: force it on at the teapot's cluster count, including
+    a group size that does NOT divide the cluster count (padding path)."""
+    import raytracing_tpu.kernels.traverse as T
+
+    mesh, accel, o, d = setup
+    monkeypatch.setattr(T, "_SUPERCELL_MIN_C", 4)
+    monkeypatch.setattr(T, "_SUPERCELL_G", 8)
+    assert accel.num_clusters % 8 != 0 or accel.num_clusters > 8
+    hb = nearest_hit_brute(triangle_soa(mesh.verts, mesh.tri_v), o, d)
+    hp = nearest_hit_pallas(mesh, accel, o, d, interpret=True)
+    m = np.asarray(hb.hit)
+    np.testing.assert_array_equal(m, np.asarray(hp.hit))
+    np.testing.assert_array_equal(np.asarray(hb.tri)[m], np.asarray(hp.tri)[m])
+    np.testing.assert_allclose(np.asarray(hb.t)[m], np.asarray(hp.t)[m],
+                               rtol=1e-5)
+    ab = any_hit_brute(triangle_soa(mesh.verts, mesh.tri_v), o, d)
+    ap = any_hit_pallas(mesh, accel, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ab), np.asarray(ap))
+
+
 def test_pallas_large_scene_early_exit_matches_oracle(rng):
     # >2048 clusters triggers the wider visit lists + batched front-to-back
     # early exit; results must still match the oracle exactly.
