@@ -91,9 +91,16 @@ _MAX_VISITS = 128
 # fixed cost is small and the accumulator update scales with the fused
 # width), so the default is 1.
 VISIT_UNROLL = 1
-# Visit lists as a sliced VMEM operand instead of SMEM scalar-prefetch —
-# lifts the SMEM budget (no chunked launches at high tile counts).
-IDS_VMEM = False
+# How visit lists reach the kernel:
+#   "prefetch" — whole [n_tiles, W] array scalar-prefetched into SMEM;
+#                the SMEM budget forces CHUNKED launches at high tile
+#                counts (3 launches + ray-pack slice copies on the 2.56M
+#                -ray frame).
+#   "smem"     — per-grid-step [SUBTILES, W] slices DMA'd into SMEM: one
+#                launch at any tile count, same scalar-read walk loop.
+#   "vmem"     — per-step sliced VMEM operand (scalar reads from VMEM;
+#                crashed the remote Mosaic compiler when last tried).
+IDS_MODE = "prefetch"
 # Group cluster count beyond which the nearest walk enables the batched
 # front-to-back early exit (and the wider visit-list floor kicks in).
 _EARLY_EXIT_MIN_CLUSTERS = 2048
@@ -461,7 +468,7 @@ def _woop_tile_t(rays8t, blk, cs, eps, t_limit=None):
 
 def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                  eps, variant, nearest, t_max, n_attrs=0, unroll=1,
-                 per_ray_tmax=False, ray_tile=RAY_TILE, ids_vmem=False,
+                 per_ray_tmax=False, ray_tile=RAY_TILE, ids_mode="prefetch",
                  early_exit=False):
     """Shared nearest/any-hit walk over the tile's visit list.
 
@@ -576,16 +583,16 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
         # both the nearest min-reduce and the occlusion min.
         n_total = tri_ref.shape[0]
         width = ids_ref.shape[1]
-        n_true = cnt_ref[tile]
+        n_true = cnt_ref[s if ids_mode == "smem" else tile]
         overflow = n_true > width
         trips = jnp.where(overflow, n_total, n_true)
         trips = (trips + (ku - 1)) // ku
 
-        # ids either live in SMEM ([n_tiles, W] scalar-prefetched) or as a
-        # per-step-sliced VMEM operand ([subtiles, W], row = local subtile)
-        # — VMEM scalar reads cost a little latency but lift the SMEM
-        # budget that forced chunked launches at high tile counts.
-        id_row = s if ids_vmem else tile
+        # ids either live in SMEM whole ([n_tiles, W] scalar-prefetched)
+        # or arrive per grid step as a [subtiles, W] slice (SMEM or VMEM,
+        # row = local subtile) — sliced modes lift the SMEM budget that
+        # forced chunked launches at high tile counts.
+        id_row = s if ids_mode != "prefetch" else tile
 
         def clusters_of(j):
             out = []
@@ -773,9 +780,10 @@ _SMEM_IDS_BUDGET_BYTES = 448 * 1024
 
 def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
                  tmax_row=None, ray_tile=RAY_TILE, subtiles=SUBTILES,
-                 ids_vmem=False, tnear=None):
+                 ids_mode="prefetch", tnear=None):
     """Launch the walk kernel, chunking ray tiles so the SMEM-resident
-    visit lists stay inside budget at any ray count.
+    visit lists stay inside budget at any ray count (prefetch mode only —
+    the sliced modes stream per-step slices and never chunk).
     `blocks` is a tuple of whole-array kernel inputs (triangle blocks,
     optionally attribute blocks). `tmax_row` is an optional [1, N] per-ray
     t_max row, sliced per grid step like the ray pack. Returns
@@ -784,15 +792,15 @@ def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
     count."""
     n_tiles, c = ids.shape
     entry_bytes = 8 if tnear is not None else 4  # ids (+ tnear) per entry
-    if ids_vmem:
-        max_tiles = n_tiles  # no SMEM footprint -> no chunking needed
+    if ids_mode != "prefetch":
+        max_tiles = n_tiles  # per-step slices -> no SMEM-budget chunking
     else:
         max_tiles = max(subtiles, _SMEM_IDS_BUDGET_BYTES // (entry_bytes * c)
                         // subtiles * subtiles)
     if n_tiles <= max_tiles:
         return _launch_single(kernel, cnt, ids, rays8, blocks, interpret,
                               n_attrs, tmax_row, ray_tile, subtiles,
-                              ids_vmem, tnear)
+                              ids_mode, tnear)
     pad_t = (-n_tiles) % max_tiles
     if pad_t:
         cnt = jnp.concatenate([cnt, jnp.zeros(pad_t, cnt.dtype)])
@@ -833,7 +841,7 @@ def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
                                                    max_tiles)
         chunks.append(_launch_single(kernel, cnt_j, ids_j, rays_j, blocks,
                                      interpret, n_attrs, tmax_j, ray_tile,
-                                     subtiles, ids_vmem, tnear_j))
+                                     subtiles, ids_mode, tnear_j))
     rp = n_tiles * ray_tile
     return tuple(
         jnp.concatenate([ch[i] for ch in chunks], axis=1)[:, :rp]
@@ -843,7 +851,7 @@ def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
 
 def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
                    tmax_row=None, ray_tile=RAY_TILE, subtiles=SUBTILES,
-                   ids_vmem=False, tnear=None):
+                   ids_mode="prefetch", tnear=None):
     rp = rays8.shape[1]
     step = ray_tile * subtiles
     n_steps = rp // step
@@ -851,7 +859,18 @@ def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
     out_dtypes = [jnp.float32, jnp.int32] + ([jnp.float32] if n_attrs else [])
     sliced = [(rays8, 8)] + ([(tmax_row, 1)] if tmax_row is not None else [])
     w = ids.shape[1]
-    if ids_vmem:
+    if ids_mode == "smem":
+        # cnt/ids (and tnear) stream per grid step as [subtiles(, W)] SMEM
+        # slices — no whole-array SMEM residency, so no launch chunking.
+        n_prefetch = 0
+        smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+        in_specs = [smem((subtiles,), lambda i, *_: (i,)),
+                    smem((subtiles, w), lambda i, *_: (i, 0))]
+        operands = (cnt, ids)
+        if tnear is not None:
+            in_specs.append(smem((subtiles, w), lambda i, *_: (i, 0)))
+            operands = (cnt, ids, tnear)
+    elif ids_mode == "vmem":
         n_prefetch = 1
         in_specs = [pl.BlockSpec((subtiles, w), lambda i, *_: (i, 0))]
         operands = (cnt, ids)
@@ -1099,7 +1118,7 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
             _walk_kernel, cluster_size=cs, eps=eps, variant=variant,
             nearest=nearest, t_max=t_max, n_attrs=n_attrs,
             unroll=VISIT_UNROLL, per_ray_tmax=tmax_row is not None,
-            ray_tile=RAY_TILE, ids_vmem=IDS_VMEM, early_exit=early,
+            ray_tile=RAY_TILE, ids_mode=IDS_MODE, early_exit=early,
         )
         ids, tnear, cnt = _tile_visit_lists_soa(
             rp, accel.cluster_min[lo:hi], accel.cluster_max[lo:hi],
@@ -1110,7 +1129,7 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
         out = _launch_walk(kern, cnt, ids, rp, blocks, interpret,
                            n_attrs=n_attrs, tmax_row=tmax_row,
                            ray_tile=RAY_TILE, subtiles=SUBTILES,
-                           ids_vmem=IDS_VMEM,
+                           ids_mode=IDS_MODE,
                            tnear=tnear if early else None)
         if nearest:
             t_g, s_g = out[0], out[1] + lo * cs

@@ -136,6 +136,26 @@ def test_visit_list_overflow_fallback(setup, rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(hb.tri)[m], np.asarray(hp.tri)[m])
 
 
+def test_ids_mode_smem_sliced_parity(setup, monkeypatch):
+    """Sliced-SMEM visit lists (IDS_MODE='smem' — one launch at any tile
+    count) must match the scalar-prefetch default exactly, on both the
+    plain walk and the early-exit walk (which threads the tnear table
+    through the same sliced plumbing)."""
+    import raytracing_tpu.kernels.traverse as T
+
+    mesh, accel, o, d = setup
+    ref = nearest_hit_pallas(mesh, accel, o, d, interpret=True)
+    monkeypatch.setattr(T, "IDS_MODE", "smem")
+    got = nearest_hit_pallas(mesh, accel, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(got.tri))
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got.t))
+    monkeypatch.setattr(T, "_EARLY_EXIT_MIN_CLUSTERS", 1)
+    got2 = nearest_hit_pallas(mesh, accel, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got2.t))
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(got2.tri))
+
+
 def test_supercell_phase1_matches_oracle(setup, rng, monkeypatch):
     """Two-level phase 1 (supercell grouping, normally >4096 clusters)
     must stay exact: force it on at the teapot's cluster count, including
