@@ -53,10 +53,16 @@ def _build(args):
         diffuse_scatter=args.diffuse_scatter,
     )
     scene = build_default_scene(t=0.0, obj_path=args.obj)
-    accel = None
+    accel = gi_accel = None
     if cfg.backend != "bruteforce":
         accel = build_cluster_accel(scene.mesh, cluster_size=args.cluster_size)
-    return cfg, scene, accel
+        gi_cs = getattr(args, "gi_cluster_size", None)
+        if gi_cs:
+            # Coarser second accel for the incoherent bounce levels (see
+            # whitted.render_rays gi_accel) — same triangles, identical
+            # image, fewer per-visit fixed costs on GI tiles.
+            gi_accel = build_cluster_accel(scene.mesh, cluster_size=gi_cs)
+    return cfg, scene, accel, gi_accel
 
 
 def cmd_render(args) -> None:
@@ -65,7 +71,7 @@ def cmd_render(args) -> None:
     from raytracing_tpu.utils.profiling import device_summary, profile_trace
 
     multi = _maybe_init_distributed(args)
-    cfg, scene, accel = _build(args)
+    cfg, scene, accel, gi_accel = _build(args)
     print(f"devices: {device_summary()}")
     print(f"triangles: {scene.mesh.num_triangles}")  # main.rs:456-459 parity
     if multi:
@@ -95,7 +101,8 @@ def cmd_render(args) -> None:
         return
     with profile_trace(args.profile):
         t0 = time.perf_counter()
-        img = render(scene, cfg, accel=accel, key=jax.random.PRNGKey(args.seed))
+        img = render(scene, cfg, accel=accel, key=jax.random.PRNGKey(args.seed),
+                     gi_accel=gi_accel)
         img.block_until_ready()
         dt = time.perf_counter() - t0
     rays = cfg.width * cfg.height * cfg.samples_per_pixel
@@ -113,7 +120,7 @@ def cmd_animate(args) -> None:
     from raytracing_tpu.utils.image import write_png
     from raytracing_tpu.utils.profiling import RateMeter
 
-    cfg, scene, accel = _build(args)
+    cfg, scene, accel, gi_accel = _build(args)
     fps = RateMeter("fps")
     viewer = None
     if getattr(args, "live", False):
@@ -122,7 +129,8 @@ def cmd_animate(args) -> None:
         viewer = TermViewer(max_cols=getattr(args, "live_cols", 100))
     render_jit = jax.jit(
         lambda mesh, sun, key: render(
-            Scene(mesh=mesh, sun=sun), cfg, accel=accel, key=key
+            Scene(mesh=mesh, sun=sun), cfg, accel=accel, key=key,
+            gi_accel=gi_accel
         )
     )
     start = time.perf_counter()
@@ -159,7 +167,7 @@ def cmd_fit(args) -> None:
     import jax.numpy as jnp
     import optax
 
-    cfg, scene, accel = _build(args)
+    cfg, scene, accel, gi_accel = _build(args)
     target = render(scene, cfg, accel=accel, key=jax.random.PRNGKey(0))
     params = {"colors": scene.mesh.colors * args.perturb}
     opt = optax.adam(args.lr)
@@ -202,6 +210,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--backend", default="cluster",
                         choices=["bruteforce", "cluster", "pallas"])
         sp.add_argument("--cluster-size", type=int, default=128)
+        sp.add_argument("--gi-cluster-size", type=int, default=None,
+                        help="build a second, coarser accel for bounce "
+                             "(depth>1) levels — identical image, faster "
+                             "incoherent walks (pallas backend)")
         sp.add_argument("--chunk-size", type=int, default=16384)
         sp.add_argument("--reflect-depth", type=int, default=4)
         sp.add_argument("--diffuse-depth", type=int, default=2)

@@ -219,9 +219,17 @@ def render_rays(
     key: jax.Array,
     config: RenderConfig,
     lights=None,
+    gi_accel: Optional[ClusterAccel] = None,
 ) -> jnp.ndarray:
     """Radiance for a batch of primary rays [R, 3] -> gamma-corrected RGB
-    [R, 3]. The full ray tree is unrolled into max_depth wavefront levels."""
+    [R, 3]. The full ray tree is unrolled into max_depth wavefront levels.
+
+    gi_accel: optional SECOND accel (same mesh, typically coarser
+    clusters) used for every depth>1 level — trace, sun shadow, and area
+    lights. Bounce wavefronts are incoherent: their tiles walk most of
+    the scene's visit list, so the per-visit fixed cost dominates and
+    bigger clusters amortize it. Results are exact either way (same
+    triangle set; only the walk partition changes)."""
     max_depth = max(config.reflect_depth, config.diffuse_depth)
     s = config.diffuse_scatter
     sky = jnp.asarray(config.sky_color, dtype=o.dtype)
@@ -254,21 +262,26 @@ def render_rays(
     for depth in range(1, max_depth + 1):
         n_l = o_l.shape[0]
         sidx = None
+        # Coarse-cluster accel for the incoherent bounce levels, when the
+        # caller provides one. MUST be used consistently within a level:
+        # nearest_hit_shaded emits slot ids in ITS accel's packing and
+        # shade resolves them through the same accel's order table.
+        acc_l = gi_accel if (depth > 1 and gi_accel is not None) else accel
         if (depth > 1 and config.backend == "pallas" and accel is not None
                 and config.bin_secondary):
-            lo_, hi_ = scene_bounds(accel)
+            lo_, hi_ = scene_bounds(acc_l)
             k = bounce_bin_key(o_l, d_l, lo_, hi_, alive_l)
             sidx, (o_l, d_l, alive_l) = bin_sort(k, o_l, d_l, alive_l)
         h, attrs = nearest_hit_shaded(
-            mesh, accel, o_l, d_l, config, alive=alive_l,
+            mesh, acc_l, o_l, d_l, config, alive=alive_l,
             t_cap=t_cap if depth > 1 else None,
             early_exit=(True if depth > 1 and config.gi_early_exit
                         else None))
-        sh = shade(mesh, accel, sun, o_l, d_l, h, config, attrs=attrs)
+        sh = shade(mesh, acc_l, sun, o_l, d_l, h, config, attrs=attrs)
         direct = sh.direct
         if lights is not None:
             kl = jax.random.fold_in(key, 7777 + depth)
-            area = area_light_term(mesh, accel, lights, sh, h.hit, kl,
+            area = area_light_term(mesh, acc_l, lights, sh, h.hit, kl,
                                    config)
             direct = direct + jnp.where(h.hit[:, None], area, 0.0)
         has_r = depth < config.reflect_depth
@@ -384,6 +397,7 @@ def render(
     config: RenderConfig,
     accel: Optional[ClusterAccel] = None,
     key: Optional[jax.Array] = None,
+    gi_accel: Optional[ClusterAccel] = None,
 ) -> jnp.ndarray:
     """Render a full frame -> [H, W, 3] float RGB in [0, 1]-ish.
 
@@ -419,9 +433,9 @@ def render(
     keys = jax.random.split(key, nc)
 
     lights = getattr(scene, "lights", None)
-    ckey = (id(scene.mesh), id(accel), id(scene.sun), id(lights), config,
-            chunk, by_formula)
-    refs = (scene, accel)
+    ckey = (id(scene.mesh), id(accel), id(gi_accel), id(scene.sun),
+            id(lights), config, chunk, by_formula)
+    refs = (scene, accel, gi_accel)
 
     if by_formula:
         def make():
@@ -429,7 +443,8 @@ def render(
                 ids = block_ray_ids(i, chunk, config, bh, bw)
                 o_c, d_c = camera_rays_for_ids(ids, config)
                 return render_rays(scene.mesh, accel, scene.sun, o_c, d_c,
-                                   key_c, config, lights=lights)
+                                   key_c, config, lights=lights,
+                                   gi_accel=gi_accel)
             return body
 
         rgb = _dispatch_chunks(_cached_body(ckey, make, refs), keys, nc,
@@ -447,7 +462,8 @@ def render(
             ids = jax.lax.dynamic_slice(perm, (i * chunk,), (chunk,))
             o_c, d_c = camera_rays_for_ids(ids, config)
             return render_rays(scene.mesh, accel, scene.sun, o_c, d_c,
-                               key_c, config, lights=lights)
+                               key_c, config, lights=lights,
+                               gi_accel=gi_accel)
         return body
 
     rgb = _dispatch_chunks(_cached_body(ckey, make, (refs, perm)), keys,

@@ -163,3 +163,20 @@ def test_diffuse_gi_brightens_adjacent_surfaces():
     )[0]
     # GI adds energy: floor sees sky through scattered rays.
     assert with_gi.sum() > no_gi.sum() + 1e-3
+
+
+def test_gi_accel_parity(default_scene):
+    """A coarse bounce-level accel (gi_accel) must not change the image:
+    both accels cover the same triangle set, so every nearest hit, shadow
+    verdict, and RNG draw is identical — only the walk partition differs."""
+    cfg = small_cfg(width=16, height=16, backend="pallas",
+                    chunk_size=16 * 16, reflect_depth=2, diffuse_depth=2,
+                    diffuse_scatter=2)
+    accel = build_cluster_accel(default_scene.mesh, cluster_size=16)
+    coarse = build_cluster_accel(default_scene.mesh, cluster_size=64)
+    a = np.asarray(render(default_scene, cfg, accel=accel,
+                          key=jax.random.PRNGKey(5)))
+    b = np.asarray(render(default_scene, cfg, accel=accel, gi_accel=coarse,
+                          key=jax.random.PRNGKey(5)))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, atol=1e-6)
