@@ -174,8 +174,11 @@ def test_gi_accel_parity(default_scene):
                     diffuse_scatter=2)
     accel = build_cluster_accel(default_scene.mesh, cluster_size=16)
     coarse = build_cluster_accel(default_scene.mesh, cluster_size=64)
-    a = np.asarray(render(default_scene, cfg, accel=accel,
-                          key=jax.random.PRNGKey(5)))
+    # Oracle: the cluster backend (render() keeps RNG/ray order identical
+    # across backends, so images match exactly) — avoids paying a second
+    # pallas-interpret compile just for the no-gi_accel arm.
+    a = np.asarray(render(default_scene, cfg.replace(backend="cluster"),
+                          accel=accel, key=jax.random.PRNGKey(5)))
     b = np.asarray(render(default_scene, cfg, accel=accel, gi_accel=coarse,
                           key=jax.random.PRNGKey(5)))
     assert np.isfinite(b).all()
