@@ -133,12 +133,7 @@ def cmd_animate(args) -> None:
             gi_accel=gi_accel
         )
     )
-    start = time.perf_counter()
-    for frame in range(args.frames):
-        t = time.perf_counter() - start
-        sun = sun_position(t)
-        img = render_jit(scene.mesh, sun, jax.random.PRNGKey(frame))
-        img.block_until_ready()
+    def present(frame, t, img):
         # In live mode the fps line rides the viewer's status bar instead
         # of scrolling the animation away.
         fps.tick(emit=None if viewer is not None else print)
@@ -148,6 +143,23 @@ def cmd_animate(args) -> None:
                         status=f"frame {frame}  t={t:6.2f}s  fps {rate}")
         if args.out_pattern:
             write_png(args.out_pattern.format(frame=frame), np.asarray(img))
+
+    # One frame in flight: present frame n-1 on the host (terminal blit /
+    # PNG encode, both pure host work) while the device renders frame n —
+    # the headless analog of the reference's free-running redraw loop
+    # overlapping its fps print with the GPU blit (main.rs:486-504).
+    start = time.perf_counter()
+    pending = None
+    for frame in range(args.frames):
+        t = time.perf_counter() - start
+        sun = sun_position(t)
+        img = render_jit(scene.mesh, sun, jax.random.PRNGKey(frame))
+        if pending is not None:
+            present(*pending)
+        pending = (frame, t, img)
+    if pending is not None:
+        pending[2].block_until_ready()
+        present(*pending)
     total = time.perf_counter() - start
     print(f"rendered {args.frames} frames in {total:.2f}s "
           f"({args.frames / total:.2f} fps avg)")
