@@ -583,7 +583,7 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
         # both the nearest min-reduce and the occlusion min.
         n_total = tri_ref.shape[0]
         width = ids_ref.shape[1]
-        n_true = cnt_ref[s if ids_mode == "smem" else tile]
+        n_true = cnt_ref[s, 0] if ids_mode == "smem" else cnt_ref[tile]
         overflow = n_true > width
         trips = jnp.where(overflow, n_total, n_true)
         trips = (trips + (ku - 1)) // ku
@@ -860,16 +860,18 @@ def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
     sliced = [(rays8, 8)] + ([(tmax_row, 1)] if tmax_row is not None else [])
     w = ids.shape[1]
     if ids_mode == "smem":
-        # cnt/ids (and tnear) stream per grid step as [subtiles(, W)] SMEM
+        # cnt/ids (and tnear) stream per grid step as [subtiles, ...] SMEM
         # slices — no whole-array SMEM residency, so no launch chunking.
+        # cnt rides as a [subtiles, 1] column (Mosaic wants SMEM arrays
+        # 2-D; the kernel reads cnt_ref[s, 0] in this mode).
         n_prefetch = 0
         smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
-        in_specs = [smem((subtiles,), lambda i, *_: (i,)),
+        in_specs = [smem((subtiles, 1), lambda i, *_: (i, 0)),
                     smem((subtiles, w), lambda i, *_: (i, 0))]
-        operands = (cnt, ids)
+        operands = (cnt[:, None], ids)
         if tnear is not None:
             in_specs.append(smem((subtiles, w), lambda i, *_: (i, 0)))
-            operands = (cnt, ids, tnear)
+            operands = (cnt[:, None], ids, tnear)
     elif ids_mode == "vmem":
         n_prefetch = 1
         in_specs = [pl.BlockSpec((subtiles, w), lambda i, *_: (i, 0))]
