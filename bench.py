@@ -53,17 +53,24 @@ def main() -> None:
         )
     )
 
+    # Primary rays all leave the pinhole at the origin -> origin-folded
+    # "pmto" intersector (see kernels.traverse._pmt_o_tile). NOTE the
+    # dependency-chain perturbation rides ray 0's DIRECTION row (row 4)
+    # here, not its origin, so the shared-origin contract stays true.
+    o_shared = jnp.zeros(3, jnp.float32)
+
     @jax.jit
     def frame(state, rays8):
-        r = rays8.at[0, 0].add(state * 1e-12)  # dependency chain
-        t, _ = nearest_hit_soa(accel, r, interpret=not on_tpu)
+        r = rays8.at[4, 0].add(state * 1e-12)  # dependency chain
+        t, _ = nearest_hit_soa(accel, r, interpret=not on_tpu,
+                               shared_origin=o_shared)
         hit = jnp.isfinite(t)
         return jnp.sum(t, where=hit) * 1e-20, jnp.sum(hit)
 
     @jax.jit
     def null(state, rays8):
-        r = rays8.at[0, 0].add(state * 1e-12)
-        return jnp.sum(r[0, :8]) * 1e-20, jnp.int32(0)
+        r = rays8.at[4, 0].add(state * 1e-12)
+        return jnp.sum(r[4, :8]) * 1e-20, jnp.int32(0)
 
     def chain(f, iters):
         s, hits = jax.block_until_ready(f(jnp.float32(0.0), rays8))

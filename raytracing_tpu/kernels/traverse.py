@@ -427,6 +427,59 @@ def _pmt_t_tile(o, d, blk, eps, t_limit=None):
     return jnp.where(valid, t, INF)
 
 
+def _pmt_o_tile(d, blk, eps, t_limit=None):
+    """Baldwin–Weber with the ray ORIGIN FOLDED INTO THE BLOCK SCALARS —
+    the shared-origin fast path (variant "pmto"). All primary rays of a
+    pinhole camera leave one point, so d0' = d0 - n·o, u0' = u0 + U·o,
+    v0' = v0c + V·o are per-triangle constants adjusted once per launch
+    in XLA (_fold_origin, ~600 KB elementwise at teapot size); the kernel
+    then never touches the origin rows: t = d0'/den, u = u0' + t·(U·d),
+    v = v0' + t·(V·d) — ~25% fewer VPU ops per (ray, triangle) than
+    `_pmt_tile` (no n·o FMAs, no hit-point materialization). Same 12-row
+    block layout, so the launch plumbing is unchanged. Algebraically
+    identical to "pmt"; association differs, so results may flip on
+    acceptance boundaries within one rounding."""
+    dx, dy, dz = d
+    cs = blk.shape[1]
+
+    def col(k):
+        return jnp.reshape(blk[k:k + 1, :], (cs, 1))
+
+    nx, ny, nz, d0 = col(0), col(1), col(2), col(3)
+    ux, uy, uz, u0 = col(4), col(5), col(6), col(7)
+    vx, vy, vz, v0c = col(8), col(9), col(10), col(11)
+    den = nx * dx + ny * dy + nz * dz            # [CS, RT]
+    t = d0 / den
+    u = u0 + t * (ux * dx + uy * dy + uz * dz)
+    v = v0c + t * (vx * dx + vy * dy + vz * dz)
+    valid = (
+        (jnp.abs(den) >= eps)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > eps)
+    )
+    if t_limit is not None:
+        valid = valid & (t < t_limit)
+    return jnp.where(valid, t, INF)
+
+
+def _fold_origin(pmt_blocks, o):
+    """[C, 12, CS] Baldwin–Weber blocks -> origin-folded blocks for the
+    "pmto" variant: d0' = d0 - n·o, u0' = u0 + U·o, v0' = v0c + V·o.
+    Pure elementwise XLA over the block table; o is a [3] array (may be
+    traced)."""
+    o = jnp.asarray(o, dtype=pmt_blocks.dtype).reshape(3, 1)
+    n, d0 = pmt_blocks[:, 0:3], pmt_blocks[:, 3:4]
+    u_, u0 = pmt_blocks[:, 4:7], pmt_blocks[:, 7:8]
+    v_, v0 = pmt_blocks[:, 8:11], pmt_blocks[:, 11:12]
+    no = jnp.sum(n * o[None], axis=1, keepdims=True)
+    uo = jnp.sum(u_ * o[None], axis=1, keepdims=True)
+    vo = jnp.sum(v_ * o[None], axis=1, keepdims=True)
+    return jnp.concatenate(
+        [n, d0 - no, u_, u0 + uo, v_, v0 + vo], axis=1)
+
+
 def _woop_tile_t(rays8t, blk, cs, eps, t_limit=None):
     """Woop-transform intersection of the ray tile against one cluster:
     rays8t [8, RT] (SoA rows), blk [8, 6*CS]. The transform is ONE MXU
@@ -532,8 +585,9 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
             rays8t = rays_ref[:, lo:lo + rt]  # [8, RT]
         else:
             rows = rays_ref[:, lo:lo + rt]
-            o_cols = tuple(rows[k:k + 1, :] for k in (0, 1, 2))
             d_cols = tuple(rows[k:k + 1, :] for k in (4, 5, 6))
+            if variant != "pmto":  # origin-folded blocks need no o rows
+                o_cols = tuple(rows[k:k + 1, :] for k in (0, 1, 2))
         if per_ray_tmax:
             t_lim = tmax_ref[:, lo:lo + rt]  # [1, RT] per-ray bound
         elif nearest:
@@ -557,6 +611,8 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                     [_woop_tile_t(rays8t, blk[:, k * 6 * cs:(k + 1) * 6 * cs],
                                   cs, eps, t_lim)
                      for k in range(ku)], axis=0)
+            if variant == "pmto":
+                return _pmt_o_tile(d_cols, blk, eps, t_lim)
             if variant == "pmt":
                 return _pmt_tile(o_cols, d_cols, blk, eps, t_lim)
             return _mt_tile(o_cols, d_cols, blk, eps, t_lim)
@@ -1081,7 +1137,7 @@ def _vmem_group_clusters(accel: ClusterAccel, variant: str,
 
 def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
                  n_attrs, tmax_row=None, attr_kind="shade",
-                 early_exit=None):
+                 early_exit=None, shared_origin=None):
     """Phase 1-3 over the cluster set, split into VMEM-sized groups when
     the scene's kernel blocks exceed the resident budget (the >VMEM path:
     each group is one ordinary resident-block walk; per-ray results merge
@@ -1091,14 +1147,22 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
     nearest queries; (t, occ, None) for occlusion queries."""
     cs = accel.cluster_size
     c_total = accel.num_clusters
-    gsz = _vmem_group_clusters(accel, variant, n_attrs, attr_kind)
+    if shared_origin is not None and variant == "pmt":
+        # All rays leave one point: fold the origin into the block
+        # scalars (cheap XLA elementwise) and run the o-free intersector.
+        variant = "pmto"
+    gsz = _vmem_group_clusters(
+        accel, "pmt" if variant == "pmto" else variant, n_attrs, attr_kind)
     all_blocks = {"woop": accel.woop_blocks,
                   "pmt": accel.pmt_blocks,
+                  "pmto": accel.pmt_blocks,
                   "pmtt": accel.pmt_t_blocks}.get(variant, accel.tri_blocks)
     if all_blocks is None:
         raise ValueError(
             f"variant {variant!r} blocks were not built for this accel "
             "(build_cluster_accel(..., variants=...))")
+    if variant == "pmto":
+        all_blocks = _fold_origin(all_blocks, shared_origin)
     all_attrs = _attr_table(accel, variant, attr_kind)
     t_cap = t_max if (nearest and t_max != float("inf")) else None
     best = None
@@ -1219,17 +1283,25 @@ def nearest_hit_soa(
     eps: float = 1e-8,
     interpret: bool | None = None,
     variant: str = DEFAULT_VARIANT,
+    shared_origin: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Raw kernel nearest-hit over the SoA ray pack [8, N] (see
     `rays_to_soa`). Returns (t [N] detached, tri_id [N] original ids).
     This is the zero-copy fast path the bench and renderer hot loops use;
-    `nearest_hit_pallas` wraps it with the [N,3] API + differentiable t."""
+    `nearest_hit_pallas` wraps it with the [N,3] API + differentiable t.
+
+    shared_origin: optional [3] origin shared by EVERY ray in the pack
+    (the pinhole-camera primary case). Switches the "pmt" variant to the
+    origin-folded "pmto" intersector — ~25% fewer VPU ops per test.
+    Caller asserts the sharing; results can differ from the default path
+    only on acceptance boundaries within one f32 rounding."""
     if interpret is None:
         interpret = not _on_tpu()
     rays8 = jax.lax.stop_gradient(rays8)
     rp, r = _pad_rays_soa(rays8)
     t_k, slot, _ = _walk_groups(accel, rp, eps, interpret, variant,
-                                nearest=True, t_max=float("inf"), n_attrs=0)
+                                nearest=True, t_max=float("inf"), n_attrs=0,
+                                shared_origin=shared_origin)
     t_k, slot, _ = _merge_rest_nearest(accel, rp, t_k, slot, None, eps, 0)
     t_k = t_k[0, :r]
     slot = slot[0, :r]
@@ -1252,6 +1324,7 @@ def nearest_hit_attrs_soa(
     variant: str = DEFAULT_VARIANT,
     t_cap: float | None = None,
     early_exit: bool | None = None,
+    shared_origin: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Nearest hit over the SoA ray pack, with the winning triangle's
     shading attributes accumulated IN the kernel (see _walk_kernel). Returns
@@ -1277,20 +1350,23 @@ def nearest_hit_attrs_soa(
         t_k, slot, attrs = _walk_groups(accel, rp, eps, interpret, variant,
                                         nearest=True, t_max=float("inf"),
                                         n_attrs=n_attrs,
-                                        early_exit=early_exit)
+                                        early_exit=early_exit,
+                                        shared_origin=shared_origin)
         t_k, slot, attrs = _merge_rest_nearest(accel, rp, t_k, slot, attrs,
                                                eps, n_attrs)
         return t_k[0, :r], slot[0, :r], attrs[:, :r]
     t1, s1, a1 = _walk_groups(accel, rp, eps, interpret, variant,
                               nearest=True, t_max=float(t_cap),
-                              n_attrs=n_attrs, early_exit=early_exit)
+                              n_attrs=n_attrs, early_exit=early_exit,
+                              shared_origin=shared_origin)
     t1, s1, a1 = _merge_rest_nearest(accel, rp, t1, s1, a1, eps, n_attrs)
     done = t1 < t_cap  # [1, rp]; rest hits beyond cap do NOT settle a ray
     alive2 = (rp[7:8, :] != 0.0) & ~done
     rp2 = jnp.concatenate([rp[:7], alive2.astype(rp.dtype)], axis=0)
     t2, s2, a2 = _walk_groups(accel, rp2, eps, interpret, variant,
                               nearest=True, t_max=float("inf"),
-                              n_attrs=n_attrs, early_exit=early_exit)
+                              n_attrs=n_attrs, early_exit=early_exit,
+                              shared_origin=shared_origin)
     # Survivors may still be beaten by their (full-range) rest candidate
     # already merged into pass 1: keep the elementwise nearest of both.
     better2 = t2 < t1

@@ -202,3 +202,29 @@ def test_pallas_large_scene_early_exit_matches_oracle(rng):
                                rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(hp.tri)[m],
                                   np.asarray(hb.tri)[m])
+
+
+def test_shared_origin_variant_parity(rng):
+    """The origin-folded "pmto" intersector must agree with the default
+    "pmt" path on a shared-origin ray batch (identical algebra, different
+    association — ties within one rounding are the only allowed flips,
+    and this deterministic batch has none)."""
+    from raytracing_tpu.kernels.traverse import nearest_hit_soa, rays_to_soa
+
+    mesh = teapot_only_mesh()
+    accel = build_cluster_accel(mesh, cluster_size=16)
+    n = 256
+    o = np.broadcast_to(np.array([0.2, -0.1, -0.5], np.float32), (n, 3))
+    tgt = np.array([0.0, 0.0, 3.0]) + rng.normal(size=(n, 3)).astype(np.float32)
+    d = (tgt - o).astype(np.float32)
+    rays8 = rays_to_soa(jnp.asarray(o.copy()), jnp.asarray(d))
+    t_a, id_a = nearest_hit_soa(accel, rays8, interpret=True)
+    t_b, id_b = nearest_hit_soa(accel, rays8, interpret=True,
+                                shared_origin=jnp.asarray(o[0]))
+    hit_a = np.isfinite(np.asarray(t_a))
+    hit_b = np.isfinite(np.asarray(t_b))
+    np.testing.assert_array_equal(hit_a, hit_b)
+    assert hit_a.any()
+    np.testing.assert_allclose(np.asarray(t_a)[hit_a],
+                               np.asarray(t_b)[hit_b], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(id_a), np.asarray(id_b))
