@@ -82,6 +82,14 @@ class RenderConfig:
     # first hit batch can pay even on scenes below the kernel's automatic
     # large-scene threshold. Exact either way (entry-t lower bounds).
     gi_early_exit: bool = True
+    # Use the origin-folded "pmto" intersector for the PRIMARY level
+    # (pallas backend): primaries of a pinhole camera share one origin, so
+    # the Baldwin-Weber origin terms fold into per-triangle scalars (~25%
+    # fewer VPU ops per test, kernels/traverse._pmt_o_tile). Association
+    # differs from the default path, so acceptance-boundary lanes may flip
+    # within one f32 rounding — default OFF to keep images bit-identical
+    # across backends; a pure performance knob otherwise.
+    primary_shared_origin: bool = False
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -1450,6 +1450,7 @@ def nearest_hit_shaded(
     alive: jnp.ndarray | None = None,
     t_cap: float | None = None,
     early_exit: bool | None = None,
+    shared_origin: jnp.ndarray | None = None,
 ) -> Tuple[Hit, jnp.ndarray]:
     """The renderer's gather-free fast path: nearest hit + the winning
     triangle's shading attributes straight out of the kernel. Returns
@@ -1466,7 +1467,8 @@ def nearest_hit_shaded(
     rays8 = rays_to_soa(sg(o), sg(d), alive=alive)
     t_k, slot, attrs_k = nearest_hit_attrs_soa(accel, rays8, eps, interpret,
                                                variant, t_cap=t_cap,
-                                               early_exit=early_exit)
+                                               early_exit=early_exit,
+                                               shared_origin=shared_origin)
     hit = jnp.isfinite(t_k)
     slot_safe = jnp.where(hit, slot, 0)
     if accel.attr_tables is not None:

@@ -276,7 +276,10 @@ def render_rays(
             mesh, acc_l, o_l, d_l, config, alive=alive_l,
             t_cap=t_cap if depth > 1 else None,
             early_exit=(True if depth > 1 and config.gi_early_exit
-                        else None))
+                        else None),
+            # Primaries share the pinhole origin; bounce levels don't.
+            shared_origin=(o_l[0] if depth == 1
+                           and config.primary_shared_origin else None))
         sh = shade(mesh, acc_l, sun, o_l, d_l, h, config, attrs=attrs)
         direct = sh.direct
         if lights is not None:

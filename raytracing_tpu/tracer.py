@@ -62,6 +62,7 @@ def nearest_hit_shaded(
     alive: Optional[jnp.ndarray] = None,
     t_cap: Optional[float] = None,
     early_exit: Optional[bool] = None,
+    shared_origin: Optional[jnp.ndarray] = None,
 ):
     """Nearest hit plus (on the pallas backend) the winning triangle's
     shading attributes accumulated inside the kernel — the gather-free hot
@@ -78,7 +79,8 @@ def nearest_hit_shaded(
         )
 
         return _shaded(mesh, accel, o, d, config.eps, alive=alive,
-                       t_cap=t_cap, early_exit=early_exit)
+                       t_cap=t_cap, early_exit=early_exit,
+                       shared_origin=shared_origin)
     return nearest_hit(mesh, accel, o, d, config, alive=alive), None
 
 

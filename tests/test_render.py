@@ -183,3 +183,19 @@ def test_gi_accel_parity(default_scene):
                           key=jax.random.PRNGKey(5)))
     assert np.isfinite(b).all()
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_primary_shared_origin_knob(default_scene):
+    """primary_shared_origin routes the primary level through the
+    origin-folded intersector; the image must match the default path
+    (allclose — association may differ within one rounding)."""
+    cfg = small_cfg(width=16, height=16, backend="pallas",
+                    chunk_size=16 * 16, reflect_depth=1, diffuse_depth=0)
+    accel = build_cluster_accel(default_scene.mesh, cluster_size=16)
+    a = np.asarray(render(default_scene, cfg, accel=accel,
+                          key=jax.random.PRNGKey(5)))
+    b = np.asarray(render(default_scene,
+                          cfg.replace(primary_shared_origin=True),
+                          accel=accel, key=jax.random.PRNGKey(5)))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, atol=1e-5)
