@@ -58,8 +58,12 @@ def trace_paths(
     key: jax.Array,
     config: RenderConfig,
     pt: PathTracerConfig,
+    gi_accel: Optional[ClusterAccel] = None,
 ) -> jnp.ndarray:
-    """One radiance sample per ray [R, 3] -> linear RGB [R, 3] (no gamma)."""
+    """One radiance sample per ray [R, 3] -> linear RGB [R, 3] (no gamma).
+
+    gi_accel: optional coarser accel for bounce>0 segments (see
+    whitted.render_rays) — identical estimator, faster incoherent walks."""
     from raytracing_tpu.kernels.binning import (
         bin_sort,
         bounce_bin_key,
@@ -76,6 +80,7 @@ def trace_paths(
     orig = jnp.arange(r, dtype=jnp.int32)
 
     for bounce in range(pt.max_bounces):
+        acc_l = gi_accel if (bounce > 0 and gi_accel is not None) else accel
         if bounce > 0 and binning:
             # Re-bin the whole per-path state by (coarse origin cell, fine
             # direction cone) — same GI regime as the Whitted bounce
@@ -85,10 +90,12 @@ def trace_paths(
             _, (o, d, alive, throughput, radiance, orig) = bin_sort(
                 kb_, o, d, alive, throughput, radiance, orig)
         h, attrs = nearest_hit_shaded(
-            mesh, accel, o, d, config, alive=alive,
+            mesh, acc_l, o, d, config, alive=alive,
             early_exit=(True if bounce > 0 and config.gi_early_exit
-                        else None))
-        sh = shade(mesh, accel, sun, o, d, h, config, attrs=attrs)
+                        else None),
+            shared_origin=(o[0] if bounce == 0
+                           and config.primary_shared_origin else None))
+        sh = shade(mesh, acc_l, sun, o, d, h, config, attrs=attrs)
         hit = h.hit & alive
         # Miss -> sky, path ends.
         radiance = radiance + jnp.where(
@@ -143,6 +150,7 @@ def render(
     pt: PathTracerConfig = PathTracerConfig(),
     accel: Optional[ClusterAccel] = None,
     key: Optional[jax.Array] = None,
+    gi_accel: Optional[ClusterAccel] = None,
 ) -> jnp.ndarray:
     """Full-frame path-traced render -> [H, W, 3] gamma-corrected RGB.
 
@@ -173,7 +181,7 @@ def render(
 
             def sample(acc, key_s):
                 rgb = trace_paths(scene.mesh, accel, scene.sun, o_c, d_c,
-                                  key_s, config, pt)
+                                  key_s, config, pt, gi_accel=gi_accel)
                 return acc + rgb, None
 
             acc, _ = jax.lax.scan(
@@ -183,9 +191,9 @@ def render(
             return acc / pt.samples_per_pixel
         return chunk_mean
 
-    ckey = (id(scene.mesh), id(accel), id(scene.sun), config, pt, chunk,
-            "pt")
-    body = _cached_body(ckey, make, (scene, accel))
+    ckey = (id(scene.mesh), id(accel), id(gi_accel), id(scene.sun), config,
+            pt, chunk, "pt")
+    body = _cached_body(ckey, make, (scene, accel, gi_accel))
     keys = jax.random.split(key, nc)
     mean = _dispatch_chunks(body, keys, nc, chunk)[:r]
     return gamma_correct(mean.reshape(h, w, 3), config.gamma)
