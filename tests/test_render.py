@@ -170,7 +170,7 @@ def test_gi_accel_parity(default_scene):
     both accels cover the same triangle set, so every nearest hit, shadow
     verdict, and RNG draw is identical — only the walk partition differs."""
     cfg = small_cfg(width=16, height=16, backend="pallas",
-                    chunk_size=16 * 16, reflect_depth=2, diffuse_depth=2,
+                    chunk_size=16 * 16, reflect_depth=1, diffuse_depth=2,
                     diffuse_scatter=2)
     accel = build_cluster_accel(default_scene.mesh, cluster_size=16)
     coarse = build_cluster_accel(default_scene.mesh, cluster_size=64)
