@@ -101,6 +101,11 @@ VISIT_UNROLL = 1
 #   "vmem"     — per-step sliced VMEM operand (scalar reads from VMEM;
 #                crashed the remote Mosaic compiler when last tried).
 IDS_MODE = "prefetch"
+# >VMEM scenes: walk cluster groups along the inner Pallas grid axis with
+# a sliced block-table operand (auto double-buffered HBM->VMEM streaming,
+# one launch, scratch-carried accumulators — see _gstream_kernel) instead
+# of a python loop of full resident-block launches merged in XLA.
+STREAM_GROUPS = True
 # Group cluster count beyond which the nearest walk enables the batched
 # front-to-back early exit (and the wider visit-list floor kicks in).
 _EARLY_EXIT_MIN_CLUSTERS = 2048
@@ -782,6 +787,204 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
             i_ref[:, lo:lo + rt] = (tmin < INF).astype(jnp.int32)
 
 
+def _gstream_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
+                    group_size, eps, variant, nearest, t_max, n_attrs=0,
+                    per_ray_tmax=False, ray_tile=RAY_TILE,
+                    early_exit=False):
+    """STREAMED-GROUPS walk: the >VMEM sibling of `_walk_kernel`.
+
+    Grid is (n_steps, n_groups) with groups INNERMOST: iteration (i, g)
+    walks ray step i against cluster group g, whose kernel blocks arrive
+    as a grid-sliced operand — Pallas double-buffers the slices, so group
+    g+1 streams HBM->VMEM while g computes. That replaces the former
+    "sequence of full resident-block launches + XLA merges" for large
+    scenes with ONE launch whose per-(sublane, lane) best accumulators
+    live in VMEM scratch across the group axis: init at g == 0, reduce +
+    emit at g == n_groups-1. Visit lists are per (group, tile), stacked
+    row-major as [G*n_tiles(, W)] and SMEM-sliced per grid step (the
+    "smem" ids mode); cluster ids in them are GROUP-LOCAL, so packed slot
+    ids are (g*group_size + id)*CS + sublane. The batched front-to-back
+    early exit (see _walk_kernel) runs per group with that group's
+    entry-t table.
+
+    Scratch layout: acc_t/acc_s (+ one per attr plane) are [CS, step]
+    with each subtile owning its [CS, RT] column slice."""
+    refs = list(refs)
+    if early_exit:
+        tnear_ref = rays_ref
+        rays_ref = refs.pop(0)
+    else:
+        tnear_ref = None
+    tmax_ref = refs.pop(0) if per_ray_tmax else None
+    tri_ref = refs.pop(0)
+    attr_ref = refs.pop(0) if n_attrs else None
+    if nearest:
+        if n_attrs:
+            t_ref, i_ref, a_ref = refs[:3]
+            sc = refs[3:]
+        else:
+            t_ref, i_ref = refs[:2]
+            a_ref = None
+            sc = refs[2:]
+        acc_t_ref, acc_s_ref = sc[0], sc[1]
+        acc_a_refs = sc[2:2 + n_attrs]
+    else:
+        t_ref, i_ref = refs[:2]
+        a_ref = None
+        acc_t_ref = refs[2]
+        acc_s_ref = None
+        acc_a_refs = ()
+    rt_step = rays_ref.shape[1]
+    rt = ray_tile
+    subtiles = rt_step // rt
+    cs = cluster_size
+    g = pl.program_id(1)
+    ng = pl.num_programs(1)
+
+    for s in range(subtiles):
+        lo = s * rt
+        if variant == "woop":
+            rays8t = rays_ref[:, lo:lo + rt]
+        else:
+            rows = rays_ref[:, lo:lo + rt]
+            d_cols = tuple(rows[k:k + 1, :] for k in (4, 5, 6))
+            if variant != "pmto":
+                o_cols = tuple(rows[k:k + 1, :] for k in (0, 1, 2))
+        if per_ray_tmax:
+            t_lim = tmax_ref[:, lo:lo + rt]
+        elif nearest:
+            t_lim = None if t_max == float("inf") else t_max
+        else:
+            t_lim = t_max
+
+        def intersect(blk):
+            if variant == "pmtt":
+                return _pmt_t_tile(o_cols, d_cols, blk, eps, t_lim)
+            if variant == "woop":
+                return _woop_tile_t(rays8t, blk, cs, eps, t_lim)
+            if variant == "pmto":
+                return _pmt_o_tile(d_cols, blk, eps, t_lim)
+            if variant == "pmt":
+                return _pmt_tile(o_cols, d_cols, blk, eps, t_lim)
+            return _mt_tile(o_cols, d_cols, blk, eps, t_lim)
+
+        n_total = tri_ref.shape[0]  # == group_size (padded)
+        width = ids_ref.shape[1]
+        n_true = cnt_ref[s, 0]
+        overflow = n_true > width
+        trips = jnp.where(overflow, n_total, n_true)
+
+        def cluster_of(j):
+            return jnp.where(overflow, jnp.minimum(j, n_total - 1),
+                             ids_ref[s, jnp.minimum(j, width - 1)])
+
+        if nearest:
+            sub_slot = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+            base_slot = g * (group_size * cs)
+
+            def body(j, acc):
+                acc_t, acc_s = acc[0], acc[1]
+                acc_a = acc[2:]
+                cl = cluster_of(j)
+                t = intersect(tri_ref[cl])  # [CS, RT]
+                slot = base_slot + cl * cs + sub_slot
+                better = t < acc_t
+                acc_s = jnp.where(better, slot, acc_s)
+                if n_attrs:
+                    ablk = attr_ref[cl]  # [A, CS] | [CS, A] (pmtt)
+                    acc_a = tuple(
+                        jnp.where(
+                            better,
+                            ablk[:, k:k + 1] if variant == "pmtt" else
+                            jnp.reshape(ablk[k:k + 1, :], (cs, 1)),
+                            acc_a[k],
+                        )
+                        for k in range(n_attrs)
+                    )
+                acc_t = jnp.minimum(acc_t, t)
+                return (acc_t, acc_s) + acc_a
+
+            @pl.when(g == 0)
+            def _init():
+                acc_t_ref[:, lo:lo + rt] = jnp.full((cs, rt), INF,
+                                                    jnp.float32)
+                acc_s_ref[:, lo:lo + rt] = jnp.full((cs, rt), _BIG_ID,
+                                                    jnp.int32)
+                for kk in range(n_attrs):
+                    acc_a_refs[kk][:, lo:lo + rt] = jnp.zeros((cs, rt),
+                                                              jnp.float32)
+
+            acc0 = (acc_t_ref[:, lo:lo + rt], acc_s_ref[:, lo:lo + rt]) + \
+                tuple(acc_a_refs[kk][:, lo:lo + rt]
+                      for kk in range(n_attrs))
+            if early_exit:
+                ec = 8
+                alive_lane = rays_ref[7:8, lo:lo + rt] != 0.0
+
+                def wcond(st):
+                    return (st[0] < trips) & jnp.logical_not(st[1])
+
+                def wbody(st):
+                    j = st[0]
+                    acc = st[2:]
+                    for _ in range(ec):
+                        acc = body(j, acc)
+                        j = j + 1
+                    per_lane = jnp.min(acc[0], axis=0, keepdims=True)
+                    worst = jnp.max(jnp.where(alive_lane, per_lane, -INF))
+                    nxt = jnp.where(
+                        overflow, -INF,
+                        tnear_ref[s, jnp.minimum(j, width - 1)])
+                    return (j, worst < nxt) + acc
+
+                st = jax.lax.while_loop(
+                    wcond, wbody, (jnp.int32(0), jnp.bool_(False)) + acc0)
+                acc = st[2:]
+            else:
+                acc = jax.lax.fori_loop(0, trips, body, acc0)
+            acc_t_ref[:, lo:lo + rt] = acc[0]
+            acc_s_ref[:, lo:lo + rt] = acc[1]
+            for kk in range(n_attrs):
+                acc_a_refs[kk][:, lo:lo + rt] = acc[2 + kk]
+
+            @pl.when(g == ng - 1)
+            def _emit():
+                acc_t = acc_t_ref[:, lo:lo + rt]
+                acc_s = acc_s_ref[:, lo:lo + rt]
+                tmin = jnp.min(acc_t, axis=0, keepdims=True)
+                smin = jnp.min(
+                    jnp.where(acc_t == tmin, acc_s, _BIG_ID), axis=0,
+                    keepdims=True)
+                t_ref[:, lo:lo + rt] = tmin
+                i_ref[:, lo:lo + rt] = smin
+                if n_attrs:
+                    winner = (acc_t == tmin) & (acc_s == smin)
+                    for kk in range(n_attrs):
+                        a_ref[kk:kk + 1, lo:lo + rt] = jnp.max(
+                            jnp.where(winner, acc_a_refs[kk][:, lo:lo + rt],
+                                      -INF),
+                            axis=0, keepdims=True)
+        else:
+            @pl.when(g == 0)
+            def _init_occ():
+                acc_t_ref[:, lo:lo + rt] = jnp.full((cs, rt), INF,
+                                                    jnp.float32)
+
+            def body_occ(j, acc_t):
+                return jnp.minimum(acc_t, intersect(tri_ref[cluster_of(j)]))
+
+            acc_t = jax.lax.fori_loop(0, trips, body_occ,
+                                      acc_t_ref[:, lo:lo + rt])
+            acc_t_ref[:, lo:lo + rt] = acc_t
+
+            @pl.when(g == ng - 1)
+            def _emit_occ():
+                tmin = jnp.min(acc_t_ref[:, lo:lo + rt], axis=0,
+                               keepdims=True)
+                t_ref[:, lo:lo + rt] = tmin
+                i_ref[:, lo:lo + rt] = (tmin < INF).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # Launch plumbing
 # ---------------------------------------------------------------------------
@@ -903,6 +1106,71 @@ def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
         jnp.concatenate([ch[i] for ch in chunks], axis=1)[:, :rp]
         for i in range(len(chunks[0]))
     )
+
+
+def _launch_gstream(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
+                    tmax_row=None, ray_tile=RAY_TILE, subtiles=SUBTILES,
+                    tnear=None, nearest=True, cluster_size=16):
+    """Launch `_gstream_kernel` over grid (n_steps, n_groups).
+
+    cnt: [G, n_tiles] i32; ids/tnear: [G, n_tiles, W]; blocks: tuple of
+    [G*gsz, ...] padded whole tables (tri blocks, optionally attr
+    blocks). Visit-list arrays are flattened to [G*n_tiles(, W)] so their
+    SMEM slices stay 2-D (Mosaic's SMEM shape rule)."""
+    rp = rays8.shape[1]
+    step = ray_tile * subtiles
+    n_steps = rp // step
+    ng, n_tiles = cnt.shape
+    w = ids.shape[2]
+    gsz = blocks[0].shape[0] // ng
+    cs = cluster_size
+    out_rows = [1, 1] + ([n_attrs] if n_attrs else [])
+    out_dtypes = [jnp.float32, jnp.int32] + ([jnp.float32] if n_attrs else [])
+
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    in_specs = [smem((subtiles, 1), lambda i, g: (g * n_steps + i, 0)),
+                smem((subtiles, w), lambda i, g: (g * n_steps + i, 0))]
+    operands = [cnt.reshape(ng * n_tiles, 1), ids.reshape(ng * n_tiles, w)]
+    if tnear is not None:
+        in_specs.append(smem((subtiles, w), lambda i, g: (g * n_steps + i, 0)))
+        operands.append(tnear.reshape(ng * n_tiles, w))
+    in_specs.append(pl.BlockSpec((8, step), lambda i, g: (0, i)))
+    operands.append(rays8)
+    if tmax_row is not None:
+        in_specs.append(pl.BlockSpec((1, step), lambda i, g: (0, i)))
+        operands.append(tmax_row)
+    for b in blocks:
+        bs = (gsz,) + b.shape[1:]
+        in_specs.append(pl.BlockSpec(
+            bs, lambda i, g, nd=b.ndim: (g,) + (0,) * (nd - 1)))
+        operands.append(b)
+    scratch = [pltpu.VMEM((cs, step), jnp.float32)]
+    if nearest:
+        scratch.append(pltpu.VMEM((cs, step), jnp.int32))
+        scratch = [scratch[0], scratch[1]] + [
+            pltpu.VMEM((cs, step), jnp.float32) for _ in range(n_attrs)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_steps, ng),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((rows, step), lambda i, g: (0, i))
+            for rows in out_rows
+        ],
+        scratch_shapes=scratch,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, rp), dt)
+        for rows, dt in zip(out_rows, out_dtypes)
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(*operands)
 
 
 def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
@@ -1165,6 +1433,10 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
         all_blocks = _fold_origin(all_blocks, shared_origin)
     all_attrs = _attr_table(accel, variant, attr_kind)
     t_cap = t_max if (nearest and t_max != float("inf")) else None
+    if STREAM_GROUPS and c_total > gsz:
+        return _walk_groups_streamed(
+            accel, rp, eps, interpret, variant, nearest, t_max, n_attrs,
+            tmax_row, all_blocks, all_attrs, gsz, t_cap, early_exit)
     best = None
     for lo in range(0, c_total, gsz):
         hi = min(lo + gsz, c_total)
@@ -1214,6 +1486,69 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
         else:
             best = (jnp.minimum(best[0], t_g), best[1] | s_g, None)
     return best
+
+
+def _walk_groups_streamed(accel, rp, eps, interpret, variant, nearest,
+                          t_max, n_attrs, tmax_row, all_blocks, all_attrs,
+                          gsz, t_cap, early_exit):
+    """>VMEM walk via `_gstream_kernel`: one launch, cluster groups
+    streamed along the inner grid axis (Pallas double-buffers the sliced
+    block table), accumulators carried in VMEM scratch. Phase 1 runs per
+    group over a shared extents pass; the last group is padded with
+    inverted boxes (never flagged) and zero blocks (never accepted)."""
+    cs = accel.cluster_size
+    c_total = accel.num_clusters
+    # Halve the resident budget: the pipeline keeps TWO group slices live.
+    gsz = max(256, gsz // 2)
+    ng = -(-c_total // gsz)
+    pad_c = ng * gsz - c_total
+    big = jnp.float32(3e38)
+    cmin, cmax = accel.cluster_min, accel.cluster_max
+    if pad_c:
+        cmin = jnp.concatenate([cmin, jnp.full((pad_c, 3), big)], axis=0)
+        cmax = jnp.concatenate([cmax, jnp.full((pad_c, 3), -big)], axis=0)
+    lo_e, hi_e = _tile_extents_pallas(rp, RAY_TILE, interpret)
+    o_lo, o_hi = lo_e[:, 0:3], hi_e[:, 0:3]
+    d_lo, d_hi = lo_e[:, 4:7], hi_e[:, 4:7]
+    tile_alive = hi_e[:, 7] > 0.0
+    early = (nearest and tmax_row is None
+             and (gsz > _EARLY_EXIT_MIN_CLUSTERS
+                  if early_exit is None else bool(early_exit)))
+    ids_g, tnear_g, cnt_g = [], [], []
+    for g in range(ng):
+        ids, tnear, cnt = _visit_lists_from_extents(
+            o_lo, o_hi, d_lo, d_hi, cmin[g * gsz:(g + 1) * gsz],
+            cmax[g * gsz:(g + 1) * gsz], t_cap=t_cap)
+        cnt = jnp.where(tile_alive, cnt, 0)
+        ids_g.append(ids)
+        tnear_g.append(tnear)
+        cnt_g.append(cnt)
+    ids = jnp.stack(ids_g)      # [G, nt, W]
+    tnear = jnp.stack(tnear_g)
+    cnt = jnp.stack(cnt_g)      # [G, nt]
+    blocks = (jnp.concatenate(
+        [all_blocks,
+         jnp.zeros((pad_c,) + all_blocks.shape[1:], all_blocks.dtype)],
+        axis=0) if pad_c else all_blocks,)
+    if n_attrs:
+        blocks = blocks + (jnp.concatenate(
+            [all_attrs,
+             jnp.zeros((pad_c,) + all_attrs.shape[1:], all_attrs.dtype)],
+            axis=0) if pad_c else all_attrs,)
+    kern = functools.partial(
+        _gstream_kernel, cluster_size=cs, group_size=gsz, eps=eps,
+        variant=variant, nearest=nearest, t_max=t_max, n_attrs=n_attrs,
+        per_ray_tmax=tmax_row is not None, ray_tile=RAY_TILE,
+        early_exit=early,
+    )
+    out = _launch_gstream(kern, cnt, ids, rp, blocks, interpret,
+                          n_attrs=n_attrs, tmax_row=tmax_row,
+                          ray_tile=RAY_TILE, subtiles=SUBTILES,
+                          tnear=tnear if early else None,
+                          nearest=nearest, cluster_size=cs)
+    if nearest:
+        return out[0], out[1], out[2] if n_attrs else None
+    return out[0], out[1], None
 
 
 # ---------------------------------------------------------------------------

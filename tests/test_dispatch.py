@@ -118,6 +118,45 @@ def test_grouped_walk_matches_single_group():
     np.testing.assert_array_equal(np.asarray(occg), np.asarray(occ1))
 
 
+def test_streamed_groups_early_exit_and_fallback_agree():
+    """The streamed-groups launch (STREAM_GROUPS, _gstream_kernel) must
+    match the python-loop group fallback bit-for-bit, including with the
+    per-group front-to-back early exit forced on."""
+    from raytracing_tpu.accel import packets as pk
+    from raytracing_tpu.geometry.scene import build_default_scene
+    from raytracing_tpu.kernels import traverse as tv
+
+    scene = build_default_scene(t=0.0)
+    accel = pk.build_cluster_accel(scene.mesh, cluster_size=16)
+    rng = np.random.default_rng(3)
+    n = 256
+    o = jnp.zeros((n, 3))
+    th = rng.uniform(-0.5, 0.5, n)
+    ph = rng.uniform(-0.2, 0.5, n)
+    d = jnp.asarray(np.stack([np.sin(th), np.sin(ph), np.ones(n)],
+                             -1).astype(np.float32))
+    rays8 = tv.rays_to_soa(o, d)
+
+    saved_b = pk._PALLAS_BLOCK_BUDGET_BYTES
+    saved_ee = tv._EARLY_EXIT_MIN_CLUSTERS
+    saved_sg = tv.STREAM_GROUPS
+    try:
+        pk._PALLAS_BLOCK_BUDGET_BYTES = 300 * 8192  # ~4 groups
+        tv._EARLY_EXIT_MIN_CLUSTERS = 1  # force early exit in both paths
+        tv.STREAM_GROUPS = False
+        t0, s0, a0 = tv.nearest_hit_attrs_soa(accel, rays8, interpret=True)
+        tv.STREAM_GROUPS = True
+        t1, s1, a1 = tv.nearest_hit_attrs_soa(accel, rays8, interpret=True)
+    finally:
+        pk._PALLAS_BLOCK_BUDGET_BYTES = saved_b
+        tv._EARLY_EXIT_MIN_CLUSTERS = saved_ee
+        tv.STREAM_GROUPS = saved_sg
+    assert np.isfinite(np.asarray(t1)).any()
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+
 def test_subdivided_teapot_same_surface():
     from raytracing_tpu.accel.packets import build_cluster_accel
     from raytracing_tpu.geometry.mesh import Scene
