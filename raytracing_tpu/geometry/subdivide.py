@@ -28,14 +28,21 @@ def subdivide_arrays(
     tri_v = np.asarray(tri_v, dtype=np.int64)
     for _ in range(levels):
         a, b, c = tri_v[:, 0], tri_v[:, 1], tri_v[:, 2]
-        # Canonical (lo, hi) edge keys shared across adjacent triangles.
-        edges = np.concatenate(
-            [np.stack([a, b], 1), np.stack([b, c], 1), np.stack([c, a], 1)]
-        )
-        edges.sort(axis=1)
-        uniq, inv = np.unique(edges, axis=0, return_inverse=True)
-        mid = verts[uniq].mean(axis=1)  # [E, 3]
+        # Canonical (lo, hi) edge keys shared across adjacent triangles,
+        # encoded as ONE int64 per edge: np.unique on a 1-D integer array
+        # is a plain sort, while unique(axis=0) goes through a void-dtype
+        # view that measured ~10x slower at the 4.8M edges of the 1.6M-tri
+        # level.
+        e0 = np.concatenate([a, b, c])
+        e1 = np.concatenate([b, c, a])
+        lo = np.minimum(e0, e1)
+        hi = np.maximum(e0, e1)
         v0 = verts.shape[0]
+        keys = lo * np.int64(v0) + hi
+        uniq, inv = np.unique(keys, return_inverse=True)
+        ulo = uniq // v0
+        uhi = uniq - ulo * v0
+        mid = (verts[ulo] + verts[uhi]) * 0.5  # [E, 3]
         verts = np.concatenate([verts, mid.astype(np.float32)])
         t = tri_v.shape[0]
         mab = v0 + inv[:t]
