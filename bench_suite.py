@@ -129,7 +129,7 @@ def bench_large_scene(on_tpu):
     for levels, tag in ((3, "404k"), (4, "1m6")):
         t0 = time.perf_counter()
         mesh = subdivided_teapot_mesh(levels=levels)
-        accel = build_cluster_accel(mesh, cluster_size=64, method="median")
+        accel = build_cluster_accel(mesh, cluster_size=64)
         jax.block_until_ready(accel.cluster_min)
         build_s = time.perf_counter() - t0
         _emit(f"accel_build_{tag}", build_s, "s")

@@ -233,6 +233,161 @@ def _sah_split_order(cent: np.ndarray, blo: np.ndarray, bhi: np.ndarray,
     return np.concatenate(out)
 
 
+def _sah_sweep_order(cent: np.ndarray, blo: np.ndarray, bhi: np.ndarray,
+                     cs: int) -> np.ndarray:
+    """Level-synchronous exact-sweep SAH split — the same objective,
+    candidate set (every cs-aligned position, all 3 axes, exact swept
+    boxes) and therefore the same cluster quality as `_sah_split_order`,
+    but organized so the whole tree level is built at once:
+
+      * the 3 axis-sorted triangle lists are computed ONCE up front and
+        maintained through splits by a stable cumsum partition (O(n) per
+        level instead of an argsort per node per axis — the recursive
+        version's dominant cost, ~2 min at 400k triangles);
+      * prefix/suffix swept boxes are evaluated at BLOCK granularity
+        (cs triangles per block; candidates only exist at block
+        boundaries, so this is exact) over a [segments, max_blocks]
+        rectangle, chunked to bound the padding memory.
+
+    Runs in a few seconds at 1.6M triangles, which retires the
+    100k-triangle auto fallback to the median split."""
+    n = cent.shape[0]
+    if n <= cs:
+        return np.arange(n)
+    nb = (n + cs - 1) // cs
+
+    def sa(lo, hi):
+        e = np.maximum(hi - lo, 0.0)
+        return e[..., 0] * e[..., 1] + e[..., 1] * e[..., 2] \
+            + e[..., 2] * e[..., 0]
+
+    # Per-axis triangle lists, sorted once; stable so ties match the
+    # recursive builder's argsort(kind="stable").
+    ids3 = [np.argsort(cent[:, a], kind="stable") for a in range(3)]
+    bounds = np.array([0, n], dtype=np.int64)
+    pos = np.arange(n, dtype=np.int64)
+    big = np.float32(1e30)
+    blo = blo.astype(np.float32)
+    bhi = bhi.astype(np.float32)
+    pad = nb * cs - n
+
+    while True:
+        lens = np.diff(bounds)
+        live = lens > cs  # segments that still need a split
+        if not live.any():
+            break
+        starts = bounds[:-1]
+
+        # Per-axis block-reduced boxes of the CURRENT orderings (cs
+        # triangles per block; segment starts are cs-aligned so blocks
+        # never straddle segments). Recomputed once per level.
+        blo_b3, bhi_b3 = [], []
+        for a in range(3):
+            lo_t = blo[ids3[a]]
+            hi_t = bhi[ids3[a]]
+            if pad:
+                lo_t = np.concatenate(
+                    [lo_t, np.full((pad, 3), big, np.float32)])
+                hi_t = np.concatenate(
+                    [hi_t, np.full((pad, 3), -big, np.float32)])
+            blo_b3.append(lo_t.reshape(nb, cs, 3).min(axis=1))
+            bhi_b3.append(hi_t.reshape(nb, cs, 3).max(axis=1))
+        s_starts = starts[live]
+        s_lens = lens[live]
+        s_blocks = (s_lens + cs - 1) // cs
+        s_bstart = s_starts // cs  # starts are cs-aligned by construction
+
+        # Best (cost, axis, split) per live segment, evaluated in
+        # length-sorted chunks so the [G, Lmax] rectangles stay bounded.
+        best_cost = np.full(len(s_lens), np.inf)
+        best_axis = np.zeros(len(s_lens), dtype=np.int64)
+        best_kb = np.ones(len(s_lens), dtype=np.int64)
+        order_by_len = np.argsort(-s_blocks, kind="stable")
+        area_budget = 1 << 24
+        g0 = 0
+        while g0 < len(order_by_len):
+            lmax = int(s_blocks[order_by_len[g0]])
+            g1 = min(len(order_by_len),
+                     g0 + max(1, area_budget // max(lmax, 1)))
+            sel = order_by_len[g0:g1]
+            g0 = g1
+            G = len(sel)
+            L = int(s_blocks[sel].max())
+            # Block gather indices (clipped; padding handled by sentinels).
+            bidx = s_bstart[sel][:, None] + np.arange(L)[None, :]  # [G, L]
+            inseg = np.arange(L)[None, :] < s_blocks[sel][:, None]
+            bidx = np.minimum(bidx, nb - 1)
+            cost = np.full((G, L), np.inf)
+            axis_best = np.zeros((G, L), dtype=np.int64)
+            kcand = np.arange(1, L + 1, dtype=np.int64)[None, :] * cs
+            n_left = np.minimum(kcand, s_lens[sel][:, None])
+            n_right = s_lens[sel][:, None] - n_left
+            for a in range(3):
+                glo = np.where(inseg[..., None], blo_b3[a][bidx], big)
+                ghi = np.where(inseg[..., None], bhi_b3[a][bidx], -big)
+                lo_pre = np.minimum.accumulate(glo, axis=1)
+                hi_pre = np.maximum.accumulate(ghi, axis=1)
+                lo_suf = np.minimum.accumulate(glo[:, ::-1], axis=1)[:, ::-1]
+                hi_suf = np.maximum.accumulate(ghi[:, ::-1], axis=1)[:, ::-1]
+                # Candidate kb blocks on the left: prefix over blocks
+                # [0, kb), suffix over [kb, Lb). Valid kb in [1, Lb-1].
+                c_a = np.full((G, L), np.inf)
+                c_a[:, :-1] = (
+                    sa(lo_pre[:, :-1], hi_pre[:, :-1]) * n_left[:, :-1]
+                    + sa(lo_suf[:, 1:], hi_suf[:, 1:]) * n_right[:, :-1]
+                )
+                valid = (np.arange(1, L + 1)[None, :]
+                         < s_blocks[sel][:, None])
+                c_a = np.where(valid, c_a, np.inf)
+                upd = c_a < cost
+                cost = np.where(upd, c_a, cost)
+                axis_best = np.where(upd, a, axis_best)
+            j = np.argmin(cost, axis=1)
+            rows = np.arange(G)
+            best_cost[sel] = cost[rows, j]
+            best_axis[sel] = axis_best[rows, j]
+            best_kb[sel] = j + 1
+
+        # Per-segment split (triangles). Non-live segments keep k = len
+        # (everything "left", no new bound).
+        k_seg = lens.copy()
+        w_seg = np.zeros(len(lens), dtype=np.int64)
+        k_seg[live] = best_kb * cs
+        w_seg[live] = best_axis
+
+        seg_of = np.searchsorted(bounds, pos, side="right") - 1
+        off_in_seg = pos - starts[seg_of]
+        left_mask = np.zeros(n, dtype=bool)
+        for a in range(3):
+            take = (w_seg[seg_of] == a) & (off_in_seg < k_seg[seg_of])
+            left_mask[ids3[a][take]] = True
+
+        # Stable partition of every axis list by left-membership, within
+        # segments, via segmented cumsum ranks.
+        c0_starts = starts[seg_of]
+        for a in range(3):
+            f = left_mask[ids3[a]]
+            c = np.cumsum(f)
+            cz = np.concatenate([[0], c])
+            c_before_seg = cz[c0_starts]
+            left_rank = c - c_before_seg - 1  # valid where f
+            taken_left = k_seg[seg_of]  # == left count per segment
+            right_rank = off_in_seg - (c - c_before_seg)  # rights before
+            newpos = np.where(
+                f,
+                c0_starts + left_rank,
+                c0_starts + taken_left + right_rank,
+            )
+            out = np.empty(n, dtype=np.int64)
+            out[newpos] = ids3[a]
+            ids3[a] = out
+
+        new_b = (starts + k_seg)[live]
+        bounds = np.unique(np.concatenate([bounds, new_b]))
+
+    return ids3[0]
+
+
 def _index_sort_order(tri_v: np.ndarray) -> np.ndarray:
     """The reference's locality sort (`optimize_model`, opt.rs:11-36):
     stable sort by min vertex index ascending, max vertex index descending."""
@@ -245,12 +400,12 @@ def build_cluster_accel(
     mesh: Mesh, cluster_size: int = 128, method: str = "auto",
     rest_max: int = 64, variants="auto",
 ) -> ClusterAccel:
-    """Host-side (numpy) build. `method`: "auto" (default: "sah" up to
-    100k triangles, "median" beyond — the exact SAH sweep costs ~2 min at
-    400k tris for a few percent tighter boxes), "sah" (surface-area-
-    heuristic sweep split, tightest clusters), "median" (BVH-leaf median
-    split), "morton" (Z-order sort), or "index" (reference-parity locality
-    sort). Objects are packed independently so a cluster never spans two
+    """Host-side (numpy) build. `method`: "auto" (= "sah" at every scale),
+    "sah" (exact-sweep surface-area-heuristic split, level-synchronous —
+    tightest clusters, ~20 s at 1.6M tris), "sah-recursive" (the per-node
+    reference implementation, same objective, ~8 min at 1.6M — kept as
+    the parity oracle), "median" (BVH-leaf median split), "morton"
+    (Z-order sort), or "index" (reference-parity locality sort). Objects are packed independently so a cluster never spans two
     objects (mirroring the per-object build of opt.rs; keeps cluster AABBs
     tight when objects are far apart).
 
@@ -270,7 +425,10 @@ def build_cluster_accel(
     tri_v = np.asarray(mesh.tri_v)
     obj_id = np.asarray(mesh.obj_id)
     if method == "auto":
-        method = "sah" if tri_v.shape[0] <= 100_000 else "median"
+        # The level-synchronous sweep (_sah_sweep_order) has retired the
+        # old >100k fallback to the median split: exact-SAH quality is now
+        # ~20 s at 1.6M triangles (the recursive sweep took ~8 min).
+        method = "sah"
     if variants == "auto":
         variants = (("pmt", "mt", "pmtt", "woop")
                     if tri_v.shape[0] <= 100_000 else ("pmt",))
@@ -293,6 +451,10 @@ def build_cluster_accel(
         if method == "index":
             sub = _index_sort_order(tv)
         elif method == "sah":
+            tvv = verts[tv]
+            sub = _sah_sweep_order(tvv.mean(axis=1), tvv.min(axis=1),
+                                   tvv.max(axis=1), cluster_size)
+        elif method == "sah-recursive":
             tvv = verts[tv]
             sub = _sah_split_order(tvv.mean(axis=1), tvv.min(axis=1),
                                    tvv.max(axis=1), cluster_size)

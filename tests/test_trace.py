@@ -142,3 +142,43 @@ def test_rest_set_extraction():
     a = np.asarray(attrs)[0]
     np.testing.assert_allclose(a[0:3], np.asarray(mesh.normals)[rest[0]],
                                atol=1e-6)
+
+
+def test_sah_sweep_matches_recursive_quality(teapot_mesh):
+    """The level-synchronous SAH sweep (_sah_sweep_order) must be a
+    permutation and match the per-node recursive sweep's cluster quality
+    (same objective + candidate set; only tie-breaking differs) while
+    beating the median split."""
+    from raytracing_tpu.accel.packets import (
+        _median_split_order,
+        _sah_split_order,
+        _sah_sweep_order,
+    )
+
+    v = np.asarray(teapot_mesh.verts)
+    tv = np.asarray(teapot_mesh.tri_v)
+    tvv = v[tv]
+    cent, blo, bhi = tvv.mean(1), tvv.min(1), tvv.max(1)
+
+    def cluster_sa(order, cs):
+        n = len(order)
+        nb = (n + cs - 1) // cs
+        pad = nb * cs - n
+        lo, hi = blo[order], bhi[order]
+        if pad:
+            lo = np.concatenate([lo, np.full((pad, 3), 1e30, np.float32)])
+            hi = np.concatenate([hi, np.full((pad, 3), -1e30, np.float32)])
+        clo = lo.reshape(nb, cs, 3).min(1)
+        chi = hi.reshape(nb, cs, 3).max(1)
+        e = np.maximum(chi - clo, 0)
+        return float((e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2]
+                      + e[:, 2] * e[:, 0]).sum())
+
+    for cs in (16, 64):
+        new = _sah_sweep_order(cent, blo, bhi, cs)
+        assert np.array_equal(np.sort(new), np.arange(len(cent)))
+        sa_new = cluster_sa(new, cs)
+        sa_rec = cluster_sa(_sah_split_order(cent, blo, bhi, cs), cs)
+        sa_med = cluster_sa(_median_split_order(cent, cs), cs)
+        assert sa_new <= sa_rec * 1.05, (cs, sa_new, sa_rec)
+        assert sa_new < sa_med, (cs, sa_new, sa_med)
