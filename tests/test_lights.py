@@ -60,14 +60,16 @@ def test_light_param_gradients():
     scene = _scene(2.0)
     accel = build_cluster_accel(scene.mesh)
 
+    cfg = CFG.replace(light_samples=4)  # gradient structure is per-sample
+
     def loss(center, radius, emission):
         l = SphereLight(center=center, radius=radius, emission=emission)
         s = Scene(mesh=scene.mesh, sun=scene.sun, lights=l)
-        o = jnp.zeros((256, 3))
-        xs = jnp.linspace(-0.4, 0.4, 256)
-        d = jnp.stack([xs, xs * 0.1 - 0.25, jnp.ones(256)], axis=-1)
+        o = jnp.zeros((64, 3))
+        xs = jnp.linspace(-0.4, 0.4, 64)
+        d = jnp.stack([xs, xs * 0.1 - 0.25, jnp.ones(64)], axis=-1)
         rgb = render_rays(scene.mesh, accel, scene.sun, o, d,
-                          jax.random.PRNGKey(2), CFG, lights=l)
+                          jax.random.PRNGKey(2), cfg, lights=l)
         return jnp.sum(rgb)
 
     g = jax.grad(loss, argnums=(0, 1, 2))(

@@ -78,15 +78,15 @@ def test_path_tracer_expectation_matches_whitted_diffuse():
                     cfg)
     )[0]
     n_samp = 512
-    keys = jax.random.split(jax.random.PRNGKey(7), n_samp)
     ob = jnp.broadcast_to(o, (n_samp, 3))
     db = jnp.broadcast_to(d, (n_samp, 3))
     pt_cfg = PathTracerConfig(max_bounces=2)
-    # One sample per key via vmapped single-ray batches.
-    samples = jax.vmap(
-        lambda k: trace_paths(scene.mesh, None, scene.sun, o, d, k, cfg,
-                              pt_cfg)[0]
-    )(keys)
+    # trace_paths draws per-ray randomness (uniform/hemisphere samples are
+    # shaped [R]), so a batch of identical rays yields independent paths —
+    # one batched trace replaces 512 vmapped single-ray programs (~45 s of
+    # this test's cost was that vmap).
+    samples = trace_paths(scene.mesh, None, scene.sun, ob, db,
+                          jax.random.PRNGKey(7), cfg, pt_cfg)
     from raytracing_tpu.ops.color import gamma_correct
 
     pt_mean = np.asarray(gamma_correct(jnp.mean(samples, axis=0)))

@@ -165,21 +165,53 @@ def test_diffuse_gi_brightens_adjacent_surfaces():
     assert with_gi.sum() > no_gi.sum() + 1e-3
 
 
-def test_gi_accel_parity(default_scene):
+def _bumpy_grid_scene(g=16):
+    """Compact multi-cluster scene: a g x g bumpy quad grid over a ground
+    quad (the floor lands in the dense rest set). Small enough that
+    pallas-interpret renders run in seconds, structured enough (many
+    clusters at cs=16 AND cs=64, multi-entry visit lists) to exercise the
+    same partition logic as the full teapot scene."""
+    gx, gz = np.meshgrid(np.arange(g + 1), np.arange(g + 1), indexing="ij")
+    gv = np.stack(
+        [gx.ravel() - g / 2.0,
+         0.4 * np.sin(gx.ravel() * 1.9) * np.cos(gz.ravel() * 1.3) - 1.0,
+         gz.ravel() + 3.0], axis=1).astype(np.float32)
+    quads = []
+    for i in range(g):
+        for j in range(g):
+            a = i * (g + 1) + j
+            quads.append([a, a + g + 1, a + 1])
+            quads.append([a + 1, a + g + 1, a + g + 2])
+    grid_obj = {"verts": gv, "tri_v": np.asarray(quads, dtype=np.int32),
+                "colors": np.array([0.7, 0.5, 0.3], dtype=np.float32),
+                "material": (1.0, 0.4, 0.6)}
+    floor = {"verts": np.array([[-60, -3, -60], [-60, -3, 60],
+                                [60, -3, 60], [60, -3, -60]],
+                               dtype=np.float32),
+             "tri_v": np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int32),
+             "colors": np.array([0.5, 0.5, 0.5], dtype=np.float32),
+             "material": (1.0, 0.0, 1.0)}
+    return Scene(mesh=concat_objects([grid_obj, floor]),
+                 sun=jnp.array([1000.0, 2500.0, -500.0]))
+
+
+def test_gi_accel_parity():
     """A coarse bounce-level accel (gi_accel) must not change the image:
     both accels cover the same triangle set, so every nearest hit, shadow
     verdict, and RNG draw is identical — only the walk partition differs."""
+    scene = _bumpy_grid_scene()
     cfg = small_cfg(width=16, height=16, backend="pallas",
                     chunk_size=16 * 16, reflect_depth=1, diffuse_depth=2,
                     diffuse_scatter=2)
-    accel = build_cluster_accel(default_scene.mesh, cluster_size=16)
-    coarse = build_cluster_accel(default_scene.mesh, cluster_size=64)
+    accel = build_cluster_accel(scene.mesh, cluster_size=16)
+    coarse = build_cluster_accel(scene.mesh, cluster_size=64)
+    assert accel.num_clusters >= 4 * coarse.num_clusters >= 16
     # Oracle: the cluster backend (render() keeps RNG/ray order identical
     # across backends, so images match exactly) — avoids paying a second
     # pallas-interpret compile just for the no-gi_accel arm.
-    a = np.asarray(render(default_scene, cfg.replace(backend="cluster"),
+    a = np.asarray(render(scene, cfg.replace(backend="cluster"),
                           accel=accel, key=jax.random.PRNGKey(5)))
-    b = np.asarray(render(default_scene, cfg, accel=accel, gi_accel=coarse,
+    b = np.asarray(render(scene, cfg, accel=accel, gi_accel=coarse,
                           key=jax.random.PRNGKey(5)))
     assert np.isfinite(b).all()
     np.testing.assert_allclose(a, b, atol=1e-6)
