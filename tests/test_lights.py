@@ -24,7 +24,7 @@ def _scene(radius):
     return Scene(mesh=mesh, sun=sun_position(0.0), lights=light)
 
 
-CFG = RenderConfig(width=56, height=56, samples_per_pixel=1,
+CFG = RenderConfig(width=40, height=40, samples_per_pixel=1,
                    backend="cluster", reflect_depth=1, diffuse_depth=0,
                    light_samples=8)
 

@@ -151,8 +151,8 @@ def test_inverse_fit_recovers_color():
     # Start from wrong colors; fit should reduce loss substantially.
     params = {"colors": scene.mesh.colors * 0.3}
     res = inverse.fit(
-        scene, jnp.asarray(target), params, cfg, steps=80,
-        rays_per_step=64, learning_rate=5e-2,
+        scene, jnp.asarray(target), params, cfg, steps=48,
+        rays_per_step=64, learning_rate=8e-2,
     )
     assert res.losses[-1] < res.losses[0] * 0.25, res.losses[::10]
     # Only triangles actually hit by camera rays receive gradient; assert
