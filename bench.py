@@ -24,6 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from raytracing_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from raytracing_tpu.accel.packets import build_cluster_accel
 from raytracing_tpu.config import RenderConfig
 from raytracing_tpu.geometry.scene import build_default_scene

@@ -32,7 +32,11 @@ def ray_pack():
          np.ones((1, n), np.float32)], axis=0)), n
 
 
+from raytracing_tpu.utils.cache import enable_persistent_cache
+
+
 def main():
+    enable_persistent_cache()
     on_tpu = jax.default_backend() == "tpu"
     rays8, n = ray_pack()
     levels = [int(a) for a in sys.argv[1:]] or [3]

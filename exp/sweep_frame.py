@@ -13,7 +13,11 @@ from raytracing_tpu.geometry.scene import build_default_scene
 from raytracing_tpu.models.whitted import render
 
 
+from raytracing_tpu.utils.cache import enable_persistent_cache
+
+
 def main():
+    enable_persistent_cache()
     on_tpu = jax.default_backend() == "tpu"
     scene = build_default_scene(t=0.0)
     accel = build_cluster_accel(scene.mesh, cluster_size=16)

@@ -44,7 +44,11 @@ def chain(f, rays8, iters=20):
     return best, aux
 
 
+from raytracing_tpu.utils.cache import enable_persistent_cache
+
+
 def main():
+    enable_persistent_cache()
     scene = build_default_scene(t=0.0)
     rays8, n = ray_pack()
     o_shared = jnp.zeros(3, jnp.float32)

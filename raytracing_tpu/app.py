@@ -282,6 +282,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[list] = None) -> None:
     logging.basicConfig(level=logging.INFO)
+    from raytracing_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     args.fn(args)
 

@@ -27,6 +27,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 POS_BITS = 6   # per-axis quantization -> 18-bit Morton (64^3 cells)
 DIR_BITS = 4   # 3-bit octant + 1 bit dominant-axis split -> 16 cones
@@ -136,13 +137,50 @@ def bounce_bin_key(o, d, lo, hi, alive=None) -> jnp.ndarray:
     return bin_key(o, d, lo, hi, alive, pos_bits=3, dir_ratio_bits=2)
 
 
+@jax.custom_vjp
+def _sort_cols(key, *cols):
+    """out[j] = cols[.][perm[j]] where perm stable-sorts `key` ascending.
+    Returns (sidx, moved_cols); sidx = perm (each sorted slot's original
+    index). Linear in `cols` with a data-independent (detached) permutation.
+
+    The custom VJP exists because jax's native sort autodiff linearizes to
+    a take_along_axis whose TRANSPOSE is a scatter — and per-element
+    scatters are serial on this TPU (~7 cycles/element; utils/timing.py).
+    Moving the cotangents back to input order is itself just the inverse
+    permutation, which one more variadic lax.sort (keyed on sidx) applies
+    at full vector throughput."""
+    n = key.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    out = jax.lax.sort((key, iota) + cols, num_keys=1)
+    return out[1], out[2:]
+
+
+def _sort_cols_fwd(key, *cols):
+    sidx, moved = _sort_cols(key, *cols)
+    return (sidx, moved), sidx
+
+
+def _sort_cols_bwd(sidx, ct):
+    _, ct_cols = ct
+    # Sorting the cotangents by sidx (a permutation of 0..n-1) lands
+    # ct_cols[j] at original slot sidx[j] — the inverse permutation, as
+    # one vectorized payload sort instead of n serial scatter-adds.
+    moved = jax.lax.sort((sidx,) + tuple(ct_cols), num_keys=1)[1:]
+    return (np.zeros(sidx.shape, dtype=jax.dtypes.float0),) + tuple(moved)
+
+
+_sort_cols.defvjp(_sort_cols_fwd, _sort_cols_bwd)
+
+
 def bin_sort(key: jnp.ndarray, *payloads):
     """Sort payloads by bin key with ONE variadic lax.sort (all payloads
     move in the same vectorized sorting network — no per-array serial
-    gather). Returns (sidx, sorted_payloads): `sidx` is each sorted slot's
-    ORIGINAL index; pass it to `unsort` to restore original order.
-    Payloads of any dtype; [N, k] arrays are split into columns."""
-    n = key.shape[0]
+    gather, forward OR backward: see _sort_cols). Returns
+    (sidx, sorted_payloads): `sidx` is each sorted slot's ORIGINAL index;
+    pass it to `unsort` to restore original order. Payloads of any dtype;
+    [N, k] arrays are split into columns. Gradients flow through float
+    payloads; the permutation itself is detached (traversal-decision
+    convention, same as the hit ids)."""
     flat, specs = [], []
     for p in payloads:
         if p.ndim == 1:
@@ -152,10 +190,8 @@ def bin_sort(key: jnp.ndarray, *payloads):
             cols = [p[:, j] for j in range(p.shape[1])]
             flat.extend(cols)
             specs.append(p.shape[1])
-    iota = jnp.arange(n, dtype=jnp.int32)
-    out = jax.lax.sort((key, iota) + tuple(flat), num_keys=1)
-    sidx = out[1]
-    rebuilt, k = [], 2
+    sidx, out = _sort_cols(key, *flat)
+    rebuilt, k = [], 0
     for p, spec in zip(payloads, specs):
         if spec is None:
             rebuilt.append(out[k])

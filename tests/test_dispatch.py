@@ -79,6 +79,40 @@ def test_bin_sort_unsort_roundtrip():
     np.testing.assert_array_equal(np.asarray(s_u), np.asarray(scalar))
 
 
+def test_bin_sort_custom_vjp_matches_native_sort_grad():
+    """bin_sort/unsort carry a custom VJP that moves cotangents with a
+    variadic payload sort (per-element scatter transposes are serial on
+    TPU). The gradient must equal jax's native lax.sort autodiff exactly."""
+    rng = np.random.default_rng(7)
+    n = 1024
+    key_arr = jnp.asarray(rng.integers(0, 257, n), jnp.int32)
+    x = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    alive = jnp.asarray(rng.integers(0, 2, n).astype(bool))
+    w = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+
+    def loss_custom(x):
+        sidx, (xs, a_s) = bin_sort(key_arr, x, alive)
+        (back,) = unsort(sidx, xs * xs)
+        return jnp.sum(back * w)
+
+    def loss_native(x):
+        iota = jnp.arange(n, dtype=jnp.int32)
+        out = jax.lax.sort(
+            (key_arr, iota) + tuple(x[:, j] for j in range(3)), num_keys=1)
+        sidx = out[1]
+        xs = jnp.stack(out[2:], axis=1)
+        sq = xs * xs
+        out2 = jax.lax.sort(
+            (sidx,) + tuple(sq[:, j] for j in range(3)), num_keys=1)
+        back = jnp.stack(out2[1:], axis=1)
+        return jnp.sum(back * w)
+
+    g_custom = jax.jit(jax.grad(loss_custom))(x)
+    g_native = jax.jit(jax.grad(loss_native))(x)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_native),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_grouped_walk_matches_single_group():
     """>VMEM scenes traverse as a sequence of resident cluster groups;
     forcing a tiny budget on the teapot scene must reproduce the single-
