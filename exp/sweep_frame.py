@@ -28,20 +28,23 @@ def main():
 
     for chunk in (16384, 32768, 65536, 131072):
         for gcs, gacc in gi_accels.items():
-            cfg = RenderConfig(width=800, height=800, samples_per_pixel=4,
-                               backend="pallas" if on_tpu else "cluster",
-                               chunk_size=chunk)
-            img = jax.block_until_ready(
-                render(scene, cfg, accel=accel, gi_accel=gacc))
-            best = float("inf")
-            for k in (1, 2):
-                t0 = time.perf_counter()
+            for pso in ((False, True) if gcs == 128 else (True,)):
+                cfg = RenderConfig(width=800, height=800,
+                                   samples_per_pixel=4,
+                                   backend="pallas" if on_tpu else "cluster",
+                                   chunk_size=chunk,
+                                   primary_shared_origin=pso)
                 img = jax.block_until_ready(
-                    render(scene, cfg, accel=accel, gi_accel=gacc,
-                           key=jax.random.PRNGKey(k)))
-                best = min(best, time.perf_counter() - t0)
-            print(f"chunk={chunk:6d} gi_cs={gcs} -> {best:.3f} s/frame",
-                  flush=True)
+                    render(scene, cfg, accel=accel, gi_accel=gacc))
+                best = float("inf")
+                for k in (1, 2):
+                    t0 = time.perf_counter()
+                    img = jax.block_until_ready(
+                        render(scene, cfg, accel=accel, gi_accel=gacc,
+                               key=jax.random.PRNGKey(k)))
+                    best = min(best, time.perf_counter() - t0)
+                print(f"chunk={chunk:6d} gi_cs={gcs} pso={int(pso)} "
+                      f"-> {best:.3f} s/frame", flush=True)
 
 
 if __name__ == "__main__":
