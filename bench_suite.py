@@ -228,7 +228,10 @@ def main():
     _emit("forward_262k_rays", tf * 1e3, "ms")
     _emit("backward_262k_rays", tb * 1e3, "ms")
 
-    # 3. full reference frame
+    # 3. full reference frame — default config, then the tuned fast path
+    # (coarse gi_accel for bounce levels + origin-folded primaries +
+    # larger chunks; all public RenderConfig/render knobs, same image
+    # modulo one-ulp intersector association differences).
     if not args.skip_frame:
         img = jax.block_until_ready(render(scene, cfg, accel=accel))
         t0 = time.perf_counter()
@@ -237,6 +240,18 @@ def main():
         dt = time.perf_counter() - t0
         _emit("whitted_frame_seconds", dt, "s")
         _emit("whitted_fps", 1.0 / dt, "fps")
+        gi_acc = build_cluster_accel(scene.mesh, cluster_size=128,
+                                     variants=("pmt",))
+        cfg_t = cfg.replace(chunk_size=65536, primary_shared_origin=True)
+        img = jax.block_until_ready(
+            render(scene, cfg_t, accel=accel, gi_accel=gi_acc))
+        t0 = time.perf_counter()
+        img = jax.block_until_ready(
+            render(scene, cfg_t, accel=accel, gi_accel=gi_acc,
+                   key=jax.random.PRNGKey(1)))
+        dt_t = time.perf_counter() - t0
+        _emit("whitted_frame_seconds_tuned", dt_t, "s")
+        _emit("whitted_fps_tuned", 1.0 / dt_t, "fps")
         bench_path_tracer(scene, accel, on_tpu)
 
     # 4. accel build time — the analog of the reference's criterion
