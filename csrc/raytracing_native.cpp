@@ -15,6 +15,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -176,6 +178,244 @@ int rt_morton_order(const float* centroids, long n, int* order) {
   std::stable_sort(keyed.begin(), keyed.end(),
                    [](const auto& a, const auto& b) { return a.first < b.first; });
   for (long i = 0; i < n; ++i) order[i] = keyed[static_cast<size_t>(i)].second;
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Exact-sweep SAH cluster order — native twin of accel/packets.py
+// _sah_sweep_order (same objective, candidate set, f32 rounding and tie
+// rules, so the two produce IDENTICAL orderings; tests/test_native.py).
+// Depth-first with 3 stably-maintained per-axis lists; the numpy version
+// is level-synchronous for vectorization, which a scalar loop doesn't
+// need. O(n log n); ~45 s of numpy at 1.6 M triangles runs in seconds.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SahScratch {
+  std::vector<int64_t> ids[3];   // per-axis triangle lists (n each)
+  std::vector<uint8_t> in_left;  // per-triangle membership flag (n)
+  std::vector<int64_t> tmp;      // stable-partition buffer (n)
+  // per-node block boxes / prefix / suffix (max_blocks each, xyz lo+hi)
+  std::vector<float> blo_b, bhi_b, lo_pre, hi_pre, lo_suf, hi_suf;
+};
+
+inline float sa_f32(const float* lo, const float* hi) {
+  float e0 = hi[0] - lo[0];
+  float e1 = hi[1] - lo[1];
+  float e2 = hi[2] - lo[2];
+  e0 = e0 > 0.0f ? e0 : 0.0f;
+  e1 = e1 > 0.0f ? e1 : 0.0f;
+  e2 = e2 > 0.0f ? e2 : 0.0f;
+  // match numpy's evaluation order: (e0*e1 + e1*e2) + e2*e0, all f32
+  return (e0 * e1 + e1 * e2) + e2 * e0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// cent/blo/bhi: [n, 3] f32 (triangle centroids and AABBs); writes the
+// cluster-coherent permutation into order[n]. Returns 0 on success.
+int rt_sah_sweep_order(const float* cent, const float* blo, const float* bhi,
+                       long n, long cs, long long* order) {
+  if (n <= 0 || cs <= 0) return 1;
+  if (n <= cs) {
+    for (long i = 0; i < n; ++i) order[i] = i;
+    return 0;
+  }
+  SahScratch s;
+  for (int a = 0; a < 3; ++a) {
+    s.ids[a].resize(static_cast<size_t>(n));
+    for (long i = 0; i < n; ++i) s.ids[a][static_cast<size_t>(i)] = i;
+    const float* c = cent;
+    // stable sort by centroid component a (ties keep index order, matching
+    // np.argsort(kind="stable"))
+    std::stable_sort(s.ids[a].begin(), s.ids[a].end(),
+                     [c, a](int64_t x, int64_t y) {
+                       return c[x * 3 + a] < c[y * 3 + a];
+                     });
+  }
+  s.in_left.assign(static_cast<size_t>(n), 0);
+  s.tmp.resize(static_cast<size_t>(n));
+  long max_blocks = (n + cs - 1) / cs;
+  s.blo_b.resize(static_cast<size_t>(max_blocks) * 3);
+  s.bhi_b.resize(static_cast<size_t>(max_blocks) * 3);
+  s.lo_pre.resize(static_cast<size_t>(max_blocks) * 3);
+  s.hi_pre.resize(static_cast<size_t>(max_blocks) * 3);
+  s.lo_suf.resize(static_cast<size_t>(max_blocks) * 3);
+  s.hi_suf.resize(static_cast<size_t>(max_blocks) * 3);
+
+  std::vector<std::pair<long, long>> stack;
+  stack.emplace_back(0, n);
+  const float kBig = 1e30f;
+
+  while (!stack.empty()) {
+    auto seg = stack.back();
+    stack.pop_back();
+    long lo = seg.first, len = seg.second;
+    if (len <= cs) continue;
+    long nb = (len + cs - 1) / cs;
+
+    double best_cost = std::numeric_limits<double>::infinity();
+    int best_axis = 0;
+    long best_kb = 1;
+    // evaluate all candidates per axis, then combine with numpy's tie
+    // rules: per kb the LOWEST axis among strict improvements, then the
+    // SMALLEST kb among cost minima (see _sah_sweep_order). Iterating kb
+    // outer / axis inner with strict < reproduces both.
+    // Pre-compute per-axis prefix/suffix block boxes.
+    for (int a = 0; a < 3; ++a) {
+      // block-reduce boxes of the current axis-a ordering
+      for (long b = 0; b < nb; ++b) {
+        float* bl = &s.blo_b[static_cast<size_t>(b) * 3];
+        float* bh = &s.bhi_b[static_cast<size_t>(b) * 3];
+        bl[0] = bl[1] = bl[2] = kBig;
+        bh[0] = bh[1] = bh[2] = -kBig;
+        long e = std::min(len, (b + 1) * cs);
+        for (long i = b * cs; i < e; ++i) {
+          int64_t t = s.ids[a][static_cast<size_t>(lo + i)];
+          for (int k = 0; k < 3; ++k) {
+            bl[k] = std::min(bl[k], blo[t * 3 + k]);
+            bh[k] = std::max(bh[k], bhi[t * 3 + k]);
+          }
+        }
+      }
+      // prefix / suffix mins and maxes over blocks (f32, like numpy)
+      for (int k = 0; k < 3; ++k) {
+        s.lo_pre[k] = s.blo_b[k];
+        s.hi_pre[k] = s.bhi_b[k];
+      }
+      for (long b = 1; b < nb; ++b)
+        for (int k = 0; k < 3; ++k) {
+          size_t i = static_cast<size_t>(b) * 3 + k;
+          size_t p = static_cast<size_t>(b - 1) * 3 + k;
+          s.lo_pre[i] = std::min(s.blo_b[i], s.lo_pre[p]);
+          s.hi_pre[i] = std::max(s.bhi_b[i], s.hi_pre[p]);
+        }
+      for (int k = 0; k < 3; ++k) {
+        size_t i = static_cast<size_t>(nb - 1) * 3 + k;
+        s.lo_suf[i] = s.blo_b[i];
+        s.hi_suf[i] = s.bhi_b[i];
+      }
+      for (long b = nb - 2; b >= 0; --b)
+        for (int k = 0; k < 3; ++k) {
+          size_t i = static_cast<size_t>(b) * 3 + k;
+          size_t q = static_cast<size_t>(b + 1) * 3 + k;
+          s.lo_suf[i] = std::min(s.blo_b[i], s.lo_suf[q]);
+          s.hi_suf[i] = std::max(s.bhi_b[i], s.hi_suf[q]);
+        }
+      for (long kb = 1; kb < nb; ++kb) {
+        long n_left = kb * cs;
+        long n_right = len - n_left;
+        float a_l = sa_f32(&s.lo_pre[static_cast<size_t>(kb - 1) * 3],
+                           &s.hi_pre[static_cast<size_t>(kb - 1) * 3]);
+        float a_r = sa_f32(&s.lo_suf[static_cast<size_t>(kb) * 3],
+                           &s.hi_suf[static_cast<size_t>(kb) * 3]);
+        double c = static_cast<double>(a_l) * static_cast<double>(n_left) +
+                   static_cast<double>(a_r) * static_cast<double>(n_right);
+        // axis-inner iteration order is preserved because for EQUAL cost
+        // at the same kb a later axis never overwrites (strict <), and
+        // this outer loop runs axes ascending for every kb.
+        if (c < best_cost) {
+          best_cost = c;
+          best_axis = a;
+          best_kb = kb;
+        }
+      }
+    }
+
+    long k = best_kb * cs;
+    // mark left membership from the winning axis ordering
+    for (long i = 0; i < k; ++i)
+      s.in_left[static_cast<size_t>(
+          s.ids[best_axis][static_cast<size_t>(lo + i)])] = 1;
+    // stable partition each axis list by membership
+    for (int a = 0; a < 3; ++a) {
+      int64_t* seg_ids = s.ids[a].data() + lo;
+      long nl = 0, nr = 0;
+      for (long i = 0; i < len; ++i) {
+        int64_t t = seg_ids[i];
+        if (s.in_left[static_cast<size_t>(t)])
+          seg_ids[nl++] = t;
+        else
+          s.tmp[static_cast<size_t>(nr++)] = t;
+      }
+      std::memcpy(seg_ids + nl, s.tmp.data(),
+                  static_cast<size_t>(nr) * sizeof(int64_t));
+    }
+    // clear flags for reuse
+    for (long i = 0; i < k; ++i)
+      s.in_left[static_cast<size_t>(
+          s.ids[best_axis][static_cast<size_t>(lo + i)])] = 0;
+    stack.emplace_back(lo, k);
+    stack.emplace_back(lo + k, len - k);
+  }
+
+  std::memcpy(order, s.ids[0].data(), static_cast<size_t>(n) * sizeof(int64_t));
+  return 0;
+}
+
+// One midpoint (1:4) subdivision level — native twin of
+// geometry/subdivide.py::subdivide_arrays. Midpoint vertices dedup through
+// canonical (lo, hi) edge keys; NEW VERTEX ORDER matches the numpy
+// version's np.unique (edge keys ascending), so outputs are identical.
+//   verts [nv, 3] f32, tris [nt, 3] i32.
+//   out_verts capacity nv + 3*nt rows; out_tris capacity 4*nt rows.
+// Writes the new vertex count to *out_nv (triangle count is always 4*nt).
+int rt_subdivide_level(const float* verts, long nv, const int* tris, long nt,
+                       float* out_verts, int* out_tris, long long* out_nv) {
+  if (nv <= 0 || nt <= 0) return 1;
+  long ne = 3 * nt;
+  std::vector<int64_t> keys(static_cast<size_t>(ne));
+  for (long t = 0; t < nt; ++t) {
+    int a = tris[t * 3 + 0], b = tris[t * 3 + 1], c = tris[t * 3 + 2];
+    int e0[3] = {a, b, c}, e1[3] = {b, c, a};
+    for (int k = 0; k < 3; ++k) {
+      int64_t l = std::min(e0[k], e1[k]);
+      int64_t h = std::max(e0[k], e1[k]);
+      keys[static_cast<size_t>(k) * nt + t] = l * nv + h;
+    }
+  }
+  // unique keys ascending + inverse indices (np.unique semantics)
+  std::vector<int64_t> sorted_keys(keys);
+  std::sort(sorted_keys.begin(), sorted_keys.end());
+  sorted_keys.erase(std::unique(sorted_keys.begin(), sorted_keys.end()),
+                    sorted_keys.end());
+  long nu = static_cast<long>(sorted_keys.size());
+  // midpoint vertices, in unique-key order
+  std::memcpy(out_verts, verts, static_cast<size_t>(nv) * 3 * sizeof(float));
+  for (long u = 0; u < nu; ++u) {
+    int64_t key = sorted_keys[static_cast<size_t>(u)];
+    int64_t l = key / nv;
+    int64_t h = key - l * nv;
+    for (int k = 0; k < 3; ++k)
+      out_verts[(nv + u) * 3 + k] =
+          (verts[l * 3 + k] + verts[h * 3 + k]) * 0.5f;
+  }
+  // triangles: [a,mab,mca] x nt | [mab,b,mbc] x nt | [mca,mbc,c] x nt |
+  // [mab,mbc,mca] x nt — the numpy concatenation order
+  for (long t = 0; t < nt; ++t) {
+    int a = tris[t * 3 + 0], b = tris[t * 3 + 1], c = tris[t * 3 + 2];
+    auto inv = [&](long e) {
+      return static_cast<int>(
+          nv + (std::lower_bound(sorted_keys.begin(), sorted_keys.end(),
+                                 keys[static_cast<size_t>(e)]) -
+                sorted_keys.begin()));
+    };
+    int mab = inv(0 * nt + t), mbc = inv(1 * nt + t), mca = inv(2 * nt + t);
+    int* o0 = out_tris + t * 3;
+    int* o1 = out_tris + (nt + t) * 3;
+    int* o2 = out_tris + (2 * nt + t) * 3;
+    int* o3 = out_tris + (3 * nt + t) * 3;
+    o0[0] = a;   o0[1] = mab; o0[2] = mca;
+    o1[0] = mab; o1[1] = b;   o1[2] = mbc;
+    o2[0] = mca; o2[1] = mbc; o2[2] = c;
+    o3[0] = mab; o3[1] = mbc; o3[2] = mca;
+  }
+  *out_nv = nv + nu;
   return 0;
 }
 

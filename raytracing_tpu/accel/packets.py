@@ -452,8 +452,15 @@ def build_cluster_accel(
             sub = _index_sort_order(tv)
         elif method == "sah":
             tvv = verts[tv]
-            sub = _sah_sweep_order(tvv.mean(axis=1), tvv.min(axis=1),
-                                   tvv.max(axis=1), cluster_size)
+            cent_s = tvv.mean(axis=1)
+            blo_s = tvv.min(axis=1)
+            bhi_s = tvv.max(axis=1)
+            from raytracing_tpu.geometry import native
+
+            sub = (native.sah_sweep_order(cent_s, blo_s, bhi_s, cluster_size)
+                   if native.available() else None)
+            if sub is None:
+                sub = _sah_sweep_order(cent_s, blo_s, bhi_s, cluster_size)
         elif method == "sah-recursive":
             tvv = verts[tv]
             sub = _sah_split_order(tvv.mean(axis=1), tvv.min(axis=1),

@@ -49,6 +49,25 @@ def _load():
             ctypes.c_long,  # T
             ctypes.POINTER(ctypes.c_int),  # out order [T]
         ]
+        lib.rt_sah_sweep_order.restype = ctypes.c_int
+        lib.rt_sah_sweep_order.argtypes = [
+            ctypes.POINTER(ctypes.c_float),  # centroids [T,3]
+            ctypes.POINTER(ctypes.c_float),  # blo [T,3]
+            ctypes.POINTER(ctypes.c_float),  # bhi [T,3]
+            ctypes.c_long,  # T
+            ctypes.c_long,  # cluster size
+            ctypes.POINTER(ctypes.c_longlong),  # out order [T]
+        ]
+        lib.rt_subdivide_level.restype = ctypes.c_int
+        lib.rt_subdivide_level.argtypes = [
+            ctypes.POINTER(ctypes.c_float),  # verts [V,3]
+            ctypes.c_long,  # V
+            ctypes.POINTER(ctypes.c_int),  # tris [T,3]
+            ctypes.c_long,  # T
+            ctypes.POINTER(ctypes.c_float),  # out verts [V+3T,3] cap
+            ctypes.POINTER(ctypes.c_int),  # out tris [4T,3]
+            ctypes.POINTER(ctypes.c_longlong),  # out V'
+        ]
         _lib = lib
     except OSError:
         _load_failed = True
@@ -94,3 +113,49 @@ def morton_order(centroids: np.ndarray) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
     return out if rc == 0 else None
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def sah_sweep_order(cent: np.ndarray, blo: np.ndarray, bhi: np.ndarray,
+                    cs: int) -> Optional[np.ndarray]:
+    """Exact-sweep SAH cluster order — identical output to the numpy
+    builder accel/packets._sah_sweep_order (same candidates, f32 rounding
+    and tie rules; parity-tested), ~15x faster at 1M+ triangles."""
+    lib = _load()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(cent, dtype=np.float32)
+    lo = np.ascontiguousarray(blo, dtype=np.float32)
+    hi = np.ascontiguousarray(bhi, dtype=np.float32)
+    out = np.empty(c.shape[0], dtype=np.int64)
+    rc = lib.rt_sah_sweep_order(
+        _f32p(c), _f32p(lo), _f32p(hi), c.shape[0], int(cs),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+    )
+    return out if rc == 0 else None
+
+
+def subdivide_level(verts: np.ndarray, tri_v: np.ndarray
+                    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """One midpoint (1:4) subdivision level — identical output to
+    geometry/subdivide.subdivide_arrays(levels=1)."""
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(verts, dtype=np.float32)
+    t = np.ascontiguousarray(tri_v, dtype=np.int32)
+    nv, nt = v.shape[0], t.shape[0]
+    out_v = np.empty((nv + 3 * nt, 3), dtype=np.float32)
+    out_t = np.empty((4 * nt, 3), dtype=np.int32)
+    new_nv = ctypes.c_longlong(0)
+    rc = lib.rt_subdivide_level(
+        _f32p(v), nv, t.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nt,
+        _f32p(out_v), out_t.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ctypes.byref(new_nv),
+    )
+    if rc != 0:
+        return None
+    return out_v[: new_nv.value].copy(), out_t

@@ -26,7 +26,18 @@ def subdivide_arrays(
     """(verts [V,3], tri_v [T,3]) -> subdivided (verts', tri_v'), numpy."""
     verts = np.asarray(verts, dtype=np.float32)
     tri_v = np.asarray(tri_v, dtype=np.int64)
+    from raytracing_tpu.geometry import native
+
     for _ in range(levels):
+        # Native one-level twin (csrc rt_subdivide_level): identical
+        # output (same unique-key midpoint order), ~10x faster at the
+        # 4.8M-edge level. Falls through to numpy per level if absent.
+        if native.available():
+            out = native.subdivide_level(verts, tri_v)
+            if out is not None:
+                verts, tri_v = out
+                tri_v = tri_v.astype(np.int64)
+                continue
         a, b, c = tri_v[:, 0], tri_v[:, 1], tri_v[:, 2]
         # Canonical (lo, hi) edge keys shared across adjacent triangles,
         # encoded as ONE int64 per edge: np.unique on a 1-D integer array

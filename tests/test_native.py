@@ -52,3 +52,47 @@ def test_native_morton_matches_numpy(rng):
     order_native = native.morton_order(pts)
     order_np = np.argsort(_morton_codes(pts), kind="stable")
     np.testing.assert_array_equal(order_native, order_np)
+
+
+def test_native_sah_sweep_matches_numpy(rng, build_native):
+    """rt_sah_sweep_order must reproduce the numpy exact-sweep builder
+    bit-for-bit (same candidates, f32 rounding, and tie rules) — including
+    a tie-heavy structured grid."""
+    from raytracing_tpu.accel.packets import _sah_sweep_order
+
+    for n, cs in ((37, 8), (3000, 16), (20000, 64)):
+        v0 = rng.normal(size=(n, 3)).astype(np.float32) * 5
+        e = rng.random(size=(n, 2, 3)).astype(np.float32)
+        tv = np.stack([v0, v0 + e[:, 0], v0 + e[:, 1]], axis=1)
+        cent = tv.mean(axis=1)
+        blo = tv.min(axis=1)
+        bhi = tv.max(axis=1)
+        got = native.sah_sweep_order(cent, blo, bhi, cs)
+        want = _sah_sweep_order(cent, blo, bhi, cs)
+        np.testing.assert_array_equal(got, want)
+    g = 24  # axis-aligned grid: every centroid component tied many ways
+    gx, gy = np.meshgrid(np.arange(g, dtype=np.float32),
+                         np.arange(g, dtype=np.float32))
+    v0 = np.stack([gx.ravel(), gy.ravel(), np.zeros(g * g, np.float32)], 1)
+    tv = np.stack([v0, v0 + [1, 0, 0], v0 + [0, 1, 0]], 1).astype(np.float32)
+    got = native.sah_sweep_order(tv.mean(1), tv.min(1), tv.max(1), 16)
+    want = _sah_sweep_order(tv.mean(1), tv.min(1), tv.max(1), 16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_subdivide_matches_numpy(rng, build_native):
+    """rt_subdivide_level must reproduce subdivide_arrays exactly
+    (np.unique edge-key order defines the new vertex numbering)."""
+    from raytracing_tpu.geometry.subdivide import subdivide_arrays
+
+    verts = rng.normal(size=(60, 3)).astype(np.float32)
+    tris = rng.integers(0, 60, size=(90, 3)).astype(np.int32)
+    old = native.available
+    native.available = lambda: False
+    try:
+        v_np, t_np = subdivide_arrays(verts, tris, levels=2)
+    finally:
+        native.available = old
+    v_nat, t_nat = subdivide_arrays(verts, tris, levels=2)
+    np.testing.assert_array_equal(v_nat, v_np)
+    np.testing.assert_array_equal(t_nat, t_np)
