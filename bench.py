@@ -37,8 +37,27 @@ from raytracing_tpu.models.camera import block_permutation, camera_rays
 BASELINE_RAYS_PER_S = 1e9
 
 
+def _backend_with_retry(deadline_s: float = 600.0) -> str:
+    """The TPU pool behind this runtime can be transiently DOWN (init
+    raises UNAVAILABLE after a long internal wait) — don't let that turn
+    the round's headline artifact into a stack trace. Retry the backend
+    init up to `deadline_s`, then fall back to whatever backend jax has
+    (CPU interpret mode still produces a valid, if slow, measurement)."""
+    t0 = time.time()
+    while True:
+        try:
+            return jax.default_backend()
+        except RuntimeError as e:
+            if time.time() - t0 > deadline_s:
+                print(f"# TPU init failed past deadline: {e}", flush=True)
+                jax.config.update("jax_platforms", "cpu")
+                return jax.default_backend()
+            print("# TPU pool unavailable, retrying in 60s", flush=True)
+            time.sleep(60.0)
+
+
 def main() -> None:
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = _backend_with_retry() == "tpu"
     cfg = RenderConfig(width=800, height=800, samples_per_pixel=4)
     scene = build_default_scene(t=0.0)
     accel = build_cluster_accel(scene.mesh, cluster_size=16)
