@@ -604,6 +604,13 @@ def _kernel_blocks_host(
     [8, 6*CS] MXU matmul on rows [ox oy oz 1 dx dy dz 0]; columns are
     grouped quantity-major (all oLx, then oLy, ...).
     """
+    from raytracing_tpu.geometry import native
+
+    if native.available():
+        nat = native.kernel_blocks(tri_verts, valid, c, cs, build_woop)
+        if nat is not None:
+            return nat
+
     m = valid[:, None].astype(np.float32)
     v0 = tri_verts[:, 0]
     e1 = (tri_verts[:, 1] - v0) * m
