@@ -672,6 +672,39 @@ def _kernel_blocks_host(
 _PALLAS_BLOCK_BUDGET_BYTES = 96 * 1024 * 1024
 
 
+_ACCEL_FORMAT_VERSION = 1
+
+
+def save_accel(path: str, accel: ClusterAccel) -> None:
+    """Serialize a built accel to one .npz (atomic rename). Production
+    serving builds once and ships the structure with the scene — the
+    load path is a plain mmap-able numpy read, no SAH/packing cost.
+    Optional fields (None) are recorded in a presence mask."""
+    import os
+
+    arrays = {"_version": np.int64(_ACCEL_FORMAT_VERSION)}
+    for name, value in accel._asdict().items():
+        if value is not None:
+            arrays[name] = np.asarray(value)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_accel(path: str) -> ClusterAccel:
+    """Inverse of save_accel; arrays land on the default device."""
+    with np.load(path) as z:
+        version = int(z["_version"])
+        if version != _ACCEL_FORMAT_VERSION:
+            raise ValueError(
+                f"accel file {path}: format v{version}, "
+                f"expected v{_ACCEL_FORMAT_VERSION}")
+        fields = {name: (jnp.asarray(z[name]) if name in z.files else None)
+                  for name in ClusterAccel._fields}
+    return ClusterAccel(**fields)
+
+
 def fits_pallas_vmem(accel: ClusterAccel) -> bool:
     """Whether the accel's kernel blocks fit ONE VMEM-resident group
     (diagnostic — larger scenes still traverse on the pallas backend via

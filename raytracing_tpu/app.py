@@ -55,7 +55,18 @@ def _build(args):
     scene = build_default_scene(t=0.0, obj_path=args.obj)
     accel = gi_accel = None
     if cfg.backend != "bruteforce":
-        accel = build_cluster_accel(scene.mesh, cluster_size=args.cluster_size)
+        import os
+
+        from raytracing_tpu.accel.packets import load_accel, save_accel
+
+        cache = getattr(args, "accel_cache", None)
+        if cache and os.path.exists(cache):
+            accel = load_accel(cache)
+        else:
+            accel = build_cluster_accel(scene.mesh,
+                                        cluster_size=args.cluster_size)
+            if cache:
+                save_accel(cache, accel)
         gi_cs = getattr(args, "gi_cluster_size", None)
         if gi_cs:
             # Coarser second accel for the incoherent bounce levels (see
@@ -230,6 +241,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--reflect-depth", type=int, default=4)
         sp.add_argument("--diffuse-depth", type=int, default=2)
         sp.add_argument("--diffuse-scatter", type=int, default=10)
+        sp.add_argument("--accel-cache", default=None,
+                        help="path to a .npz accel cache: load if present, "
+                             "else build once and save (accel/packets."
+                             "save_accel) — production serving ships the "
+                             "built structure with the scene")
         sp.add_argument("--obj", default=None,
                         help="OBJ path (default: bundled teapot)")
         sp.add_argument("--seed", type=int, default=0)

@@ -85,3 +85,34 @@ def test_cli_fit_with_checkpoint(tmp_path):
     )
     args.fn(args)
     assert os.path.exists(ck)
+
+
+def test_accel_save_load_roundtrip(tmp_path):
+    """Serialized accels must rebuild the exact structure (production
+    serving builds once and ships the .npz with the scene)."""
+    import numpy as np
+    import pytest
+
+    from raytracing_tpu.accel.packets import (
+        build_cluster_accel, load_accel, save_accel,
+    )
+    from raytracing_tpu.geometry.scene import build_default_scene
+
+    scene = build_default_scene(t=0.0)
+    accel = build_cluster_accel(scene.mesh, cluster_size=16)
+    p = str(tmp_path / "accel.npz")
+    save_accel(p, accel)
+    back = load_accel(p)
+    for name in accel._fields:
+        a, b = getattr(accel, name), getattr(back, name)
+        if a is None:
+            assert b is None, name
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+    # version gate
+    import numpy as _np
+    bad = {"_version": _np.int64(999)}
+    _np.savez(str(tmp_path / "bad.npz"), **bad)
+    with pytest.raises(ValueError):
+        load_accel(str(tmp_path / "bad.npz"))
