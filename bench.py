@@ -37,18 +37,23 @@ from raytracing_tpu.models.camera import block_permutation, camera_rays
 BASELINE_RAYS_PER_S = 1e9
 
 
-def _backend_with_retry(deadline_s: float = 600.0) -> str:
+def _backend_with_retry(deadline_s: float = 600.0,
+                        min_attempts: int = 2) -> str:
     """The TPU pool behind this runtime can be transiently DOWN (init
-    raises UNAVAILABLE after a long internal wait) — don't let that turn
-    the round's headline artifact into a stack trace. Retry the backend
-    init up to `deadline_s`, then fall back to whatever backend jax has
-    (CPU interpret mode still produces a valid, if slow, measurement)."""
+    raises UNAVAILABLE — after a ~25 min internal hang in the observed
+    outage mode) — don't let that turn the round's headline artifact into
+    a stack trace. Retry the backend init until BOTH the deadline and
+    min_attempts are spent (one failed init alone can outlast any sane
+    deadline), then fall back to whatever backend jax has (CPU interpret
+    mode still produces a valid, if slow, measurement)."""
     t0 = time.time()
+    attempts = 0
     while True:
         try:
             return jax.default_backend()
         except RuntimeError as e:
-            if time.time() - t0 > deadline_s:
+            attempts += 1
+            if attempts >= min_attempts and time.time() - t0 > deadline_s:
                 print(f"# TPU init failed past deadline: {e}", flush=True)
                 jax.config.update("jax_platforms", "cpu")
                 return jax.default_backend()

@@ -213,7 +213,9 @@ def main():
     ap.add_argument("--out", default="BENCH_SUITE_r02.json")
     args = ap.parse_args()
 
-    on_tpu = jax.default_backend() == "tpu"
+    import bench as bench_mod
+
+    on_tpu = bench_mod._backend_with_retry() == "tpu"
     scene = build_default_scene(t=0.0)
     cfg = RenderConfig(width=800, height=800, samples_per_pixel=4,
                        backend="pallas" if on_tpu else "cluster")

@@ -200,6 +200,7 @@ struct SahScratch {
   std::vector<int64_t> tmp;      // stable-partition buffer (n)
   // per-node block boxes / prefix / suffix (max_blocks each, xyz lo+hi)
   std::vector<float> blo_b, bhi_b, lo_pre, hi_pre, lo_suf, hi_suf;
+  std::vector<double> cost3;  // [3, max_blocks] per-axis candidate costs
 };
 
 inline float sa_f32(const float* lo, const float* hi) {
@@ -247,6 +248,7 @@ int rt_sah_sweep_order(const float* cent, const float* blo, const float* bhi,
   s.hi_pre.resize(static_cast<size_t>(max_blocks) * 3);
   s.lo_suf.resize(static_cast<size_t>(max_blocks) * 3);
   s.hi_suf.resize(static_cast<size_t>(max_blocks) * 3);
+  s.cost3.resize(static_cast<size_t>(max_blocks) * 3);
 
   std::vector<std::pair<long, long>> stack;
   stack.emplace_back(0, n);
@@ -259,14 +261,12 @@ int rt_sah_sweep_order(const float* cent, const float* blo, const float* bhi,
     if (len <= cs) continue;
     long nb = (len + cs - 1) / cs;
 
-    double best_cost = std::numeric_limits<double>::infinity();
-    int best_axis = 0;
-    long best_kb = 1;
-    // evaluate all candidates per axis, then combine with numpy's tie
-    // rules: per kb the LOWEST axis among strict improvements, then the
-    // SMALLEST kb among cost minima (see _sah_sweep_order). Iterating kb
-    // outer / axis inner with strict < reproduces both.
-    // Pre-compute per-axis prefix/suffix block boxes.
+    // Stage 1: per-axis candidate costs into cost3[a][kb]. Stage 2
+    // combines them kb-OUTER / axis-INNER with strict <, which is
+    // numpy's tie rule (per kb the lowest axis among strict
+    // improvements, then the smallest kb among cost minima — see
+    // _sah_sweep_order). An axis-outer scan would lock a lower axis in
+    // at a LARGER kb on equal costs and diverge on tie-heavy meshes.
     for (int a = 0; a < 3; ++a) {
       // block-reduce boxes of the current axis-a ordering
       for (long b = 0; b < nb; ++b) {
@@ -314,18 +314,23 @@ int rt_sah_sweep_order(const float* cent, const float* blo, const float* bhi,
                            &s.hi_pre[static_cast<size_t>(kb - 1) * 3]);
         float a_r = sa_f32(&s.lo_suf[static_cast<size_t>(kb) * 3],
                            &s.hi_suf[static_cast<size_t>(kb) * 3]);
-        double c = static_cast<double>(a_l) * static_cast<double>(n_left) +
-                   static_cast<double>(a_r) * static_cast<double>(n_right);
-        // axis-inner iteration order is preserved because for EQUAL cost
-        // at the same kb a later axis never overwrites (strict <), and
-        // this outer loop runs axes ascending for every kb.
+        s.cost3[static_cast<size_t>(a) * max_blocks + kb] =
+            static_cast<double>(a_l) * static_cast<double>(n_left) +
+            static_cast<double>(a_r) * static_cast<double>(n_right);
+      }
+    }
+    double best_cost = std::numeric_limits<double>::infinity();
+    int best_axis = 0;
+    long best_kb = 1;
+    for (long kb = 1; kb < nb; ++kb)
+      for (int a = 0; a < 3; ++a) {
+        double c = s.cost3[static_cast<size_t>(a) * max_blocks + kb];
         if (c < best_cost) {
           best_cost = c;
           best_axis = a;
           best_kb = kb;
         }
       }
-    }
 
     long k = best_kb * cs;
     // mark left membership from the winning axis ordering

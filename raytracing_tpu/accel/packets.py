@@ -672,17 +672,33 @@ def _kernel_blocks_host(
 _PALLAS_BLOCK_BUDGET_BYTES = 96 * 1024 * 1024
 
 
-_ACCEL_FORMAT_VERSION = 1
+_ACCEL_FORMAT_VERSION = 2
 
 
-def save_accel(path: str, accel: ClusterAccel) -> None:
+def _mesh_fingerprint(mesh: Mesh) -> np.ndarray:
+    """64-bit content hash of the geometry an accel was built from:
+    verts + tri_v bytes (sha1-truncated; ~50 ms at 1.6M tris)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(np.asarray(mesh.verts, np.float32)).tobytes())
+    h.update(np.ascontiguousarray(np.asarray(mesh.tri_v, np.int32)).tobytes())
+    return np.frombuffer(h.digest()[:8], dtype=np.int64).copy()
+
+
+def save_accel(path: str, accel: ClusterAccel,
+               mesh: Optional[Mesh] = None) -> None:
     """Serialize a built accel to one .npz (atomic rename). Production
     serving builds once and ships the structure with the scene — the
-    load path is a plain mmap-able numpy read, no SAH/packing cost.
-    Optional fields (None) are recorded in a presence mask."""
+    load path is a plain numpy read, no SAH/packing cost. Optional
+    fields (None) are simply absent from the archive. Pass `mesh` to
+    record a geometry fingerprint so load_accel can reject a cache that
+    belongs to a different scene."""
     import os
 
     arrays = {"_version": np.int64(_ACCEL_FORMAT_VERSION)}
+    if mesh is not None:
+        arrays["_mesh_fp"] = _mesh_fingerprint(mesh)
     for name, value in accel._asdict().items():
         if value is not None:
             arrays[name] = np.asarray(value)
@@ -692,17 +708,40 @@ def save_accel(path: str, accel: ClusterAccel) -> None:
     os.replace(tmp, path)
 
 
-def load_accel(path: str) -> ClusterAccel:
-    """Inverse of save_accel; arrays land on the default device."""
+def load_accel(path: str, mesh: Optional[Mesh] = None,
+               cluster_size: Optional[int] = None) -> ClusterAccel:
+    """Inverse of save_accel; arrays land on the default device.
+    With `mesh`, the stored geometry fingerprint must match (a stale
+    cache for a different scene raises instead of silently rendering the
+    wrong geometry); with `cluster_size`, the stored structure's cluster
+    size must match."""
     with np.load(path) as z:
+        if "_version" not in z.files:
+            raise ValueError(
+                f"accel file {path}: not a save_accel archive "
+                f"(no _version field)")
         version = int(z["_version"])
         if version != _ACCEL_FORMAT_VERSION:
             raise ValueError(
                 f"accel file {path}: format v{version}, "
                 f"expected v{_ACCEL_FORMAT_VERSION}")
+        if mesh is not None:
+            if "_mesh_fp" not in z.files:
+                raise ValueError(
+                    f"accel file {path}: no mesh fingerprint recorded; "
+                    f"cannot validate against the current scene")
+            if int(z["_mesh_fp"][0]) != int(_mesh_fingerprint(mesh)[0]):
+                raise ValueError(
+                    f"accel file {path}: built from different geometry "
+                    f"than the current scene (mesh fingerprint mismatch)")
         fields = {name: (jnp.asarray(z[name]) if name in z.files else None)
                   for name in ClusterAccel._fields}
-    return ClusterAccel(**fields)
+    accel = ClusterAccel(**fields)
+    if cluster_size is not None and accel.cluster_size != cluster_size:
+        raise ValueError(
+            f"accel file {path}: cluster_size {accel.cluster_size}, "
+            f"expected {cluster_size}")
+    return accel
 
 
 def fits_pallas_vmem(accel: ClusterAccel) -> bool:

@@ -61,12 +61,16 @@ def _build(args):
 
         cache = getattr(args, "accel_cache", None)
         if cache and os.path.exists(cache):
-            accel = load_accel(cache)
+            # Validated load: a cache built from a different --obj mesh or
+            # --cluster-size raises instead of silently rendering stale
+            # geometry.
+            accel = load_accel(cache, mesh=scene.mesh,
+                               cluster_size=args.cluster_size)
         else:
             accel = build_cluster_accel(scene.mesh,
                                         cluster_size=args.cluster_size)
             if cache:
-                save_accel(cache, accel)
+                save_accel(cache, accel, mesh=scene.mesh)
         gi_cs = getattr(args, "gi_cluster_size", None)
         if gi_cs:
             # Coarser second accel for the incoherent bounce levels (see

@@ -116,3 +116,32 @@ def test_accel_save_load_roundtrip(tmp_path):
     _np.savez(str(tmp_path / "bad.npz"), **bad)
     with pytest.raises(ValueError):
         load_accel(str(tmp_path / "bad.npz"))
+
+
+def test_accel_cache_rejects_wrong_mesh(tmp_path):
+    """A cache built from different geometry must raise, not silently
+    render the wrong scene (and a foreign npz must fail the format gate
+    with ValueError, not KeyError)."""
+    import numpy as np
+    import pytest
+
+    from raytracing_tpu.accel.packets import (
+        build_cluster_accel, load_accel, save_accel,
+    )
+    from raytracing_tpu.geometry.scene import build_default_scene
+
+    scene = build_default_scene(t=0.0)
+    accel = build_cluster_accel(scene.mesh, cluster_size=16)
+    p = str(tmp_path / "accel.npz")
+    save_accel(p, accel, mesh=scene.mesh)
+    # same mesh: fine; also validates cluster_size
+    load_accel(p, mesh=scene.mesh, cluster_size=16)
+    with pytest.raises(ValueError):
+        load_accel(p, mesh=scene.mesh, cluster_size=64)
+    moved = scene.mesh._replace(verts=scene.mesh.verts + 0.5)
+    with pytest.raises(ValueError):
+        load_accel(p, mesh=moved)
+    # foreign npz: clear format error
+    np.savez(str(tmp_path / "foreign.npz"), something=np.arange(3))
+    with pytest.raises(ValueError):
+        load_accel(str(tmp_path / "foreign.npz"))
