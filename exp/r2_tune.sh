@@ -19,4 +19,5 @@ run headline      1200 python bench.py
 run sweep_walk    2400 python exp/sweep_walk.py 8 16 32
 run sweep_frame   3600 python exp/sweep_frame.py
 run diag_large    3600 python exp/diag_large.py 3 4
+run bwd_probe     3600 python exp/bwd_probe.py
 echo "=== r2_tune pass done $(date -u +%FT%TZ) ===" >> $LOG
