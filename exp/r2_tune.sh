@@ -16,6 +16,7 @@ run() {
 }
 
 run headline      1200 python bench.py
+run bench_suite   5400 python bench_suite.py
 run sweep_walk    2400 python exp/sweep_walk.py 8 16 32
 run sweep_frame   3600 python exp/sweep_frame.py
 run diag_large    3600 python exp/diag_large.py 3 4
