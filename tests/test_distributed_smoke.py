@@ -23,7 +23,6 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(600)
 def test_two_process_render(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), "helpers",
                           "dist_worker.py")
