@@ -388,6 +388,23 @@ def _sah_sweep_order(cent: np.ndarray, blo: np.ndarray, bhi: np.ndarray,
     return ids3[0]
 
 
+def first_tri_per_object(obj_id: np.ndarray, n_obj: int) -> np.ndarray:
+    """[O] index of the first triangle of each object — the canonical
+    representative row used by the objid-mode attribute tables (one color
+    per object). Shared by the build, refit_attr_planes, and inverse.fit's
+    precompute so the table layout convention lives in ONE place."""
+    obj_id = np.asarray(obj_id)
+    if obj_id.size == 0:
+        return np.zeros(n_obj, dtype=np.int64)
+    # An object with ZERO triangles has no representative row; clamp its
+    # searchsorted position into range. The resulting (arbitrary) row is
+    # never referenced at trace time — no triangle carries that obj_id —
+    # it only keeps the attribute table rectangular.
+    ft = np.minimum(np.searchsorted(np.sort(obj_id), np.arange(n_obj)),
+                    obj_id.size - 1)
+    return np.argsort(obj_id, kind="stable")[ft]
+
+
 def _index_sort_order(tri_v: np.ndarray) -> np.ndarray:
     """The reference's locality sort (`optimize_model`, opt.rs:11-36):
     stable sort by min vertex index ascending, max vertex index descending."""
@@ -442,6 +459,11 @@ def build_cluster_accel(
     order_parts = []
     for oi in range(n_obj):
         sel = np.nonzero(obj_id == oi)[0]
+        if len(sel) == 0:
+            # A zero-triangle object contributes nothing; appending it to
+            # the rest set could make rest_parts non-empty with 0 total
+            # rows, and a 0-row rest table crashes the rest-merge reduces.
+            continue
         if (any_big and len(sel) < cluster_size
                 and len(sel) <= rest_budget):
             rest_parts.append(sel)
@@ -506,8 +528,7 @@ def build_cluster_accel(
     n_obj = materials.shape[0]
     # objid mode: one color per object and few enough objects that the
     # trace-time select chain stays cheaper than 5 more kernel planes.
-    first_tri = np.searchsorted(np.sort(obj_id), np.arange(n_obj))
-    obj_colors = colors[np.argsort(obj_id, kind="stable")[first_tri]]
+    obj_colors = colors[first_tri_per_object(obj_id, n_obj)]
     uniform = n_obj <= 32 and bool(
         (colors == obj_colors[obj_id]).all()
     )
@@ -794,10 +815,8 @@ def refit_attr_planes(
         attr_t = jnp.concatenate(
             [planes_t, accel.attr_t_blocks[:, :, 3:4]], axis=2)
         if first_tri is None:
-            obj_id = np.asarray(mesh.obj_id)
-            first_tri = np.searchsorted(np.sort(obj_id),
-                                        np.arange(accel.attr_tables.shape[0]))
-            first_tri = np.argsort(obj_id, kind="stable")[first_tri]
+            first_tri = first_tri_per_object(
+                np.asarray(mesh.obj_id), accel.attr_tables.shape[0])
         tbl = jnp.concatenate(
             [sg(mesh.colors)[jnp.asarray(first_tri)], sg(mesh.materials)],
             axis=1)

@@ -101,7 +101,7 @@ def cmd_render(args) -> None:
         )
 
         t0 = time.perf_counter()
-        rgb = render_distributed(scene, cfg, accel=accel,
+        rgb = render_distributed(scene, cfg, accel=accel, gi_accel=gi_accel,
                                  key=jax.random.PRNGKey(args.seed))
         jax.block_until_ready(rgb)
         dt = time.perf_counter() - t0

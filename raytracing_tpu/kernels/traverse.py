@@ -1200,6 +1200,15 @@ def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
         n_prefetch = 1
         in_specs = [pl.BlockSpec((subtiles, w), lambda i, *_: (i, 0))]
         operands = (cnt, ids)
+        if tnear is not None:
+            # early-exit needs the entry-t table as positional operand 3
+            # (the kernel pops it before the ray block). It rides SMEM
+            # even in vmem mode: the kernel reads it one scalar at a time,
+            # and scalar reads from a VMEM operand crash the remote
+            # Mosaic compiler.
+            smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+            in_specs.append(smem((subtiles, w), lambda i, *_: (i, 0)))
+            operands = (cnt, ids, tnear)
     elif tnear is not None:
         n_prefetch = 3
         in_specs = []

@@ -27,6 +27,7 @@ import numpy as np
 from raytracing_tpu.accel.packets import (
     ClusterAccel,
     build_cluster_accel,
+    first_tri_per_object,
     refit_attr_planes,
 )
 from raytracing_tpu.config import RenderConfig
@@ -98,10 +99,10 @@ def fit(
     geo_params = bool({"verts", "pose"} & set(params))
     first_tri = None
     if refits_attrs and accel.attr_tables is not None:
-        obj_id = np.asarray(scene.mesh.obj_id)
-        ft = np.searchsorted(np.sort(obj_id),
-                             np.arange(accel.attr_tables.shape[0]))
-        first_tri = np.argsort(obj_id, kind="stable")[ft]
+        # Precompute while obj_id is concrete — inside step_fn the mesh is
+        # traced and refit_attr_planes could not derive it itself.
+        first_tri = first_tri_per_object(scene.mesh.obj_id,
+                                         accel.attr_tables.shape[0])
 
     o_all, d_all = camera_rays(config)
     spp, h, w = o_all.shape[:3]
@@ -135,10 +136,12 @@ def fit(
 
         # The closure reads the loop's live (params, opt_state) bindings
         # at snapshot time — always the latest completed step.
+        # retries=0 with a checkpoint_path is a legitimate ask (fail fast,
+        # snapshot on failure, let an outer scheduler restart) — honor it.
         supervisor = Supervisor(
             checkpoint_path or "fit_recovery.npz",
             state_fn=lambda: {"params": params, "opt_state": opt_state},
-            retries=max(retries, 1), checkpoint_every=checkpoint_every)
+            retries=retries, checkpoint_every=checkpoint_every)
 
     losses = []
     for i in range(steps):

@@ -228,3 +228,66 @@ def test_shared_origin_variant_parity(rng):
     np.testing.assert_allclose(np.asarray(t_a)[hit_a],
                                np.asarray(t_b)[hit_b], rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(id_a), np.asarray(id_b))
+
+
+@pytest.mark.parametrize("t_cap", [2.0, 8.0, 40.0])
+def test_t_cap_two_phase_matches_uncapped(default_scene, rng, t_cap):
+    """The two-phase capped nearest query (capped phase 1 + survivor
+    phase 2 + full-range rest merge, see nearest_hit_attrs_soa) claims
+    EXACT equality with the uncapped walk. Scene: default two teapots +
+    ground plane, where the plane lives in the dense REST set — the
+    subtle case is a rest hit beyond the cap, which must NOT settle its
+    ray in phase 1. Rays span near hits (< cap), far ground hits
+    (> cap), and sky misses."""
+    from raytracing_tpu.kernels.traverse import (
+        nearest_hit_attrs_soa,
+        rays_to_soa,
+    )
+
+    scene = default_scene
+    accel = build_cluster_accel(scene.mesh, cluster_size=16)
+    assert accel.rest_ids is not None  # ground plane must be rest-set
+    n = 256
+    o = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    # Aim a mix: teapot bodies (near), far-down ground, and above-horizon
+    # sky — exercising done/survivor/miss lanes for every cap value.
+    tgt = np.concatenate([
+        np.array([-0.9, -2.0, 9.0]) + rng.normal(size=(n // 2, 3)) * 1.5,
+        np.array([0.0, -3.0, 60.0]) + rng.normal(size=(n // 4, 3)) * 20.0,
+        np.array([0.0, 50.0, 10.0]) + rng.normal(size=(n - n // 2 - n // 4, 3)) * 5.0,
+    ]).astype(np.float32)
+    d = tgt - o
+    rays8 = rays_to_soa(jnp.asarray(o), jnp.asarray(d))
+
+    t_ref, s_ref, a_ref = nearest_hit_attrs_soa(accel, rays8,
+                                                interpret=True)
+    t_c, s_c, a_c = nearest_hit_attrs_soa(accel, rays8, interpret=True,
+                                          t_cap=t_cap)
+    hit = np.isfinite(np.asarray(t_ref))
+    assert hit.any() and not hit.all()
+    # Meaningful split: some rays settle under the cap, some survive.
+    assert (np.asarray(t_ref)[hit] < t_cap).any()
+    np.testing.assert_array_equal(np.asarray(t_c), np.asarray(t_ref))
+    np.testing.assert_array_equal(np.asarray(s_c), np.asarray(s_ref))
+    np.testing.assert_array_equal(np.asarray(a_c), np.asarray(a_ref))
+
+
+def test_ids_mode_vmem_sliced_parity(setup, monkeypatch):
+    """IDS_MODE='vmem' (ids as sliced VMEM blocks — experimental knob;
+    scalar reads from VMEM crash the REMOTE Mosaic compiler, so it is
+    interpret-only today) must still parse its operand list correctly,
+    including the early-exit walk whose tnear table rides as positional
+    operand 3."""
+    import raytracing_tpu.kernels.traverse as T
+
+    mesh, accel, o, d = setup
+    ref = nearest_hit_pallas(mesh, accel, o, d, interpret=True)
+    monkeypatch.setattr(T, "IDS_MODE", "vmem")
+    got = nearest_hit_pallas(mesh, accel, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(got.tri))
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got.t))
+    monkeypatch.setattr(T, "_EARLY_EXIT_MIN_CLUSTERS", 1)
+    got2 = nearest_hit_pallas(mesh, accel, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got2.t))
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(got2.tri))
