@@ -56,6 +56,9 @@ def _emit(metric, value, unit, baseline=None):
     rec = {"metric": metric, "value": value, "unit": unit}
     if baseline is not None:
         rec["vs_baseline"] = value / baseline
+    # Self-describing artifact: a CPU-fallback run (TPU pool outage) must
+    # not be mistaken for chip numbers by a later reader.
+    rec["platform"] = jax.default_backend()
     RECORDS.append(rec)
     print(json.dumps(rec), flush=True)
 
