@@ -1,0 +1,111 @@
+"""Sweep (RAY_TILE, SUBTILES, cluster_size) on the exact headline workload
+(pmto shared-origin intersector, block-coherent ray order).
+
+Smaller culling tiles subtend tighter frustums -> shorter visit lists, at
+the price of more grid steps (amortized by SUBTILES). Run on the chip:
+
+    python exp/sweep_tile.py            # default grid
+    python exp/sweep_tile.py 16 32      # cluster sizes
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracing_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from raytracing_tpu.accel.packets import build_cluster_accel
+from raytracing_tpu.config import RenderConfig
+from raytracing_tpu.geometry.scene import build_default_scene
+from raytracing_tpu.kernels import traverse as tv
+from raytracing_tpu.models.camera import block_permutation, camera_rays
+
+# ray_tile -> (block_h, block_w) at 4 spp
+BLOCKS = {256: (8, 8), 512: (16, 8), 1024: (16, 16), 2048: (32, 16)}
+
+
+def ray_pack(bh, bw):
+    cfg = RenderConfig(width=800, height=800, samples_per_pixel=4)
+    o, d = camera_rays(cfg)
+    spp, h, w = o.shape[:3]
+    perm, _ = block_permutation(spp, h, w, bh, bw)
+    on = np.asarray(o).reshape(-1, 3)[np.asarray(perm)]
+    dn = np.asarray(d).reshape(-1, 3)[np.asarray(perm)]
+    n = on.shape[0]
+    return jnp.asarray(np.concatenate(
+        [on.T, np.ones((1, n), np.float32), dn.T,
+         np.ones((1, n), np.float32)], axis=0)), n
+
+
+def chain(f, rays8, iters=20):
+    s, aux = jax.block_until_ready(f(jnp.float32(0.0), rays8))
+    best = float("inf")
+    for _ in range(3):
+        st = s
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, _ = f(st, rays8)
+        jax.block_until_ready(st)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best, aux
+
+
+def main():
+    scene = build_default_scene(t=0.0)
+    o_shared = jnp.zeros(3, jnp.float32)
+    cs_list = [int(a) for a in sys.argv[1:]] or [16, 32]
+
+    accels = {cs: build_cluster_accel(scene.mesh, cluster_size=cs,
+                                      variants=("pmt",))
+              for cs in cs_list}
+
+    for rt in (512, 1024, 2048, 256):
+        bh, bw = BLOCKS[rt]
+        rays8, n = ray_pack(bh, bw)
+        tv.RAY_TILE = rt
+        for st_ in (4, 8, 16):
+            tv.SUBTILES = st_
+
+            @jax.jit
+            def null(state, r8):
+                r = r8.at[4, 0].add(state * 1e-12)
+                return jnp.sum(r[4, :8]) * 1e-20, jnp.int32(0)
+
+            dt_null, _ = chain(null, rays8)
+            for cs in cs_list:
+                accel = accels[cs]
+                rp, _ = tv._pad_rays_soa(rays8)
+                _, _, cnt = tv._tile_visit_lists_soa(
+                    rp, accel.cluster_min, accel.cluster_max, rt,
+                    interpret=not tv._on_tpu())
+                tests_per_ray = float(jnp.mean(cnt)) * cs
+
+                @jax.jit
+                def frame(state, r8):
+                    r = r8.at[4, 0].add(state * 1e-12)
+                    t, _ = tv.nearest_hit_soa(accel, r,
+                                              shared_origin=o_shared)
+                    hit = jnp.isfinite(t)
+                    return jnp.sum(t, where=hit) * 1e-20, jnp.sum(hit)
+
+                try:
+                    dt, hits = chain(frame, rays8)
+                except Exception as e:  # noqa: BLE001 - sweep survives
+                    print(f"rt={rt:4d} st={st_:2d} cs={cs:3d} FAILED: "
+                          f"{type(e).__name__}", flush=True)
+                    continue
+                hf = float(hits) / n
+                mrs = n / max(dt - dt_null, 1e-9) / 1e6
+                print(f"rt={rt:4d} st={st_:2d} cs={cs:3d} "
+                      f"tests/ray={tests_per_ray:6.1f} hit={hf:.3f} "
+                      f"{dt*1e3:7.3f} ms -> {mrs:7.1f} Mrays/s", flush=True)
+    tv.RAY_TILE = 1024
+    tv.SUBTILES = 4
+
+
+if __name__ == "__main__":
+    main()
