@@ -1,0 +1,90 @@
+"""Sweep the batched front-to-back early exit on the headline workload:
+exit-check batch size x SUBTILES x cluster_size, pmto variant."""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracing_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from raytracing_tpu.accel.packets import build_cluster_accel
+from raytracing_tpu.config import RenderConfig
+from raytracing_tpu.geometry.scene import build_default_scene
+from raytracing_tpu.kernels import traverse as tv
+from raytracing_tpu.models.camera import block_permutation, camera_rays
+
+
+def ray_pack():
+    cfg = RenderConfig(width=800, height=800, samples_per_pixel=4)
+    o, d = camera_rays(cfg)
+    spp, h, w = o.shape[:3]
+    perm, _ = block_permutation(spp, h, w, 16, 16)
+    on = np.asarray(o).reshape(-1, 3)[np.asarray(perm)]
+    dn = np.asarray(d).reshape(-1, 3)[np.asarray(perm)]
+    n = on.shape[0]
+    return jnp.asarray(np.concatenate(
+        [on.T, np.ones((1, n), np.float32), dn.T,
+         np.ones((1, n), np.float32)], axis=0)), n
+
+
+def chain(f, rays8, iters=20):
+    s, aux = jax.block_until_ready(f(jnp.float32(0.0), rays8))
+    best = float("inf")
+    for _ in range(3):
+        st = s
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, _ = f(st, rays8)
+        jax.block_until_ready(st)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best, aux
+
+
+def main():
+    scene = build_default_scene(t=0.0)
+    rays8, n = ray_pack()
+    o_shared = jnp.zeros(3, jnp.float32)
+    accels = {cs: build_cluster_accel(scene.mesh, cluster_size=cs,
+                                      variants=("pmt",))
+              for cs in (16, 32)}
+
+    @jax.jit
+    def null(state, r8):
+        r = r8.at[4, 0].add(state * 1e-12)
+        return jnp.sum(r[4, :8]) * 1e-20, jnp.int32(0)
+
+    dt_null, _ = chain(null, rays8)
+    print(f"null: {dt_null*1e3:.3f} ms", flush=True)
+
+    tv._EARLY_EXIT_MIN_CLUSTERS = 0
+    for st_ in (4, 16):
+        tv.SUBTILES = st_
+        for cs in (16, 32):
+            accel = accels[cs]
+            for ec in (2, 4, 8, 16):
+                tv.EARLY_EXIT_BATCH = ec
+
+                @jax.jit
+                def frame(state, r8):
+                    r = r8.at[4, 0].add(state * 1e-12)
+                    t, _ = tv.nearest_hit_soa(accel, r,
+                                              shared_origin=o_shared)
+                    hit = jnp.isfinite(t)
+                    return jnp.sum(t, where=hit) * 1e-20, jnp.sum(hit)
+
+                dt, hits = chain(frame, rays8)
+                hf = float(hits) / n
+                mrs = n / max(dt - dt_null, 1e-9) / 1e6
+                print(f"st={st_:2d} cs={cs:3d} ec={ec:2d} hit={hf:.3f} "
+                      f"{(dt-dt_null)*1e3:7.3f} ms -> {mrs:7.1f} Mrays/s",
+                      flush=True)
+    tv.SUBTILES = 4
+    tv.EARLY_EXIT_BATCH = 8
+    tv._EARLY_EXIT_MIN_CLUSTERS = 2048
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,10 @@ STREAM_GROUPS = True
 # Group cluster count beyond which the nearest walk enables the batched
 # front-to-back early exit (and the wider visit-list floor kicks in).
 _EARLY_EXIT_MIN_CLUSTERS = 2048
+# Visits fused per early-exit check (the while-loop body unrolls this
+# many `body` trips between scalar exit tests — see the early-exit note
+# in _walk_kernel).
+EARLY_EXIT_BATCH = 8
 DEFAULT_VARIANT = "pmt"
 _TINY = 1e-20
 _BIG_ID = 2 ** 30  # python int: kernels may not capture traced constants
@@ -723,7 +727,7 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                 # of walking hundreds of silhouette near-misses.
                 # Overflow tiles scan unordered -> their nxt is -inf and
                 # they never exit early.
-                ec = 8
+                ec = EARLY_EXIT_BATCH
                 alive_lane = rays_ref[7:8, lo:lo + rt] != 0.0  # [1, RT]
 
                 def wcond(st):
@@ -918,7 +922,7 @@ def _gstream_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                 tuple(acc_a_refs[kk][:, lo:lo + rt]
                       for kk in range(n_attrs))
             if early_exit:
-                ec = 8
+                ec = EARLY_EXIT_BATCH
                 alive_lane = rays_ref[7:8, lo:lo + rt] != 0.0
 
                 def wcond(st):
