@@ -76,7 +76,7 @@ from raytracing_tpu.ops.intersect import INF, TriangleSoA, moller_trumbore
 from raytracing_tpu.ops.trace import Hit
 
 RAY_TILE = 1024  # rays per culling tile: 16x16 pixels x 4 spp in block order
-SUBTILES = 4  # culling tiles per grid step (amortizes per-step cost)
+SUBTILES = 8  # culling tiles per grid step (amortizes per-step cost)
 
 # Visit lists wider than this are truncated by the top_k compaction to keep
 # the SMEM footprint — and therefore the launch count — independent of C.
@@ -108,7 +108,11 @@ IDS_MODE = "prefetch"
 STREAM_GROUPS = True
 # Group cluster count beyond which the nearest walk enables the batched
 # front-to-back early exit (and the wider visit-list floor kicks in).
-_EARLY_EXIT_MIN_CLUSTERS = 2048
+# Round-3 measurement (exp/r3_probe.py, v5e): the exit pays its way even
+# at teapot scale (790 clusters: 852 vs 776 Mrays/s with the pmto
+# variant), because interior tiles with long silhouette lists stop after
+# one batch; tiles with short lists pay at most one (batched) overshoot.
+_EARLY_EXIT_MIN_CLUSTERS = 64
 # Visits fused per early-exit check (the while-loop body unrolls this
 # many `body` trips between scalar exit tests — see the early-exit note
 # in _walk_kernel).
@@ -1574,6 +1578,49 @@ def _rest_soa(accel):
     return TriangleSoA(v0=rb[:, 0:3], e1=rb[:, 3:6], e2=rb[:, 6:9])
 
 
+def _rest_t_rows(rays8, rb, eps, t_limit=None):
+    """Möller–Trumbore of the whole ray pack against the rest set in the
+    walk kernel's TRANSPOSED layout: rb [Rr, 9] (v0|e1|e2 rows) puts the
+    Rr triangles on SUBLANES, rays on LANES — every intermediate is a
+    dense [Rr, N] outer broadcast. The former [N, Rr] formulation padded
+    the Rr lane axis to 128 in every materialized intermediate: the
+    2-triangle ground plane measured 1.24 ms at 2.56 M rays — more than
+    the entire cluster walk (exp/r3_split2.py, v5e). Math and acceptance
+    mirror ops.intersect.moller_trumbore exactly (same safe-det division,
+    same strict comparisons). Returns t [Rr, N], +inf on miss."""
+    ox, oy, oz = (rays8[k:k + 1, :] for k in (0, 1, 2))
+    dx, dy, dz = (rays8[k:k + 1, :] for k in (4, 5, 6))
+
+    def col(k):
+        return rb[:, k:k + 1]  # [Rr, 1]
+
+    v0x, v0y, v0z = col(0), col(1), col(2)
+    e1x, e1y, e1z = col(3), col(4), col(5)
+    e2x, e2y, e2z = col(6), col(7), col(8)
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv = 1.0 / jnp.where(jnp.abs(det) >= eps, det, 1.0)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    u = (sx * px + sy * py + sz * pz) * inv
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    valid = (
+        (jnp.abs(det) >= eps)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > eps)
+    )
+    if t_limit is not None:
+        valid = valid & (t < t_limit)
+    return jnp.where(valid, t, INF)
+
+
 def _merge_rest_nearest(accel, rays8, t, slot, attrs, eps, n_attrs,
                         attr_kind="shade"):
     """Fold the rest set (ClusterAccel.rest_blocks — small objects handled
@@ -1583,26 +1630,23 @@ def _merge_rest_nearest(accel, rays8, t, slot, attrs, eps, n_attrs,
     the (static, small) Rr — cost scales with Rr, which the build caps."""
     if accel.rest_blocks is None:
         return t, slot, attrs
-    o = rays8[0:3, :].T
-    d = rays8[4:7, :].T
-    tri = _rest_soa(accel)
-    rr = tri.v0.shape[0]
-    # Gather-free dense pass: [N, Rr] intersection, min + argmin reduces
-    # only (nearest_hit_brute's per-block take_along_axis is an N-sized
-    # serial gather — measured ~20 ms/pass at 2.56 M rays).
-    t_r, _ = moller_trumbore(o[:, None, :], d[:, None, :], tri,
-                             INF, eps)  # [N, Rr]
-    tmin = jnp.min(t_r, axis=1)          # [N]
-    jarg = jnp.argmin(t_r, axis=1).astype(jnp.int32)
-    better = (tmin < t[0])[None, :]      # [1, N]
+    rb = accel.rest_blocks  # [Rr, 9]
+    rr = rb.shape[0]
+    t_r = _rest_t_rows(rays8, rb, eps)  # [Rr, N]
+    tmin = jnp.min(t_r, axis=0, keepdims=True)  # [1, N]
+    # Tie rule: lowest rest index wins — identical to the old argmin.
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rr, 1), 0)
+    jarg = jnp.min(jnp.where(t_r == tmin, iota, rr), axis=0,
+                   keepdims=True)  # [1, N]
+    better = tmin < t                    # [1, N]
     s_total = accel.order.shape[0]
-    t = jnp.minimum(t, tmin[None, :])
-    slot = jnp.where(better, s_total + jarg[None, :], slot)
+    t = jnp.minimum(t, tmin)
+    slot = jnp.where(better, s_total + jarg, slot)
     if n_attrs:
         tbl = accel.rest_grad if attr_kind == "grad" else accel.rest_attrs
         row = jnp.zeros((n_attrs, t.shape[1]), dtype=t.dtype)
         for j in range(rr):
-            row = jnp.where((jarg == j)[None, :], tbl[j][:, None], row)
+            row = jnp.where(jarg == j, tbl[j][:, None], row)
         attrs = jnp.where(better, row, attrs)
     return t, slot, attrs
 
@@ -1610,14 +1654,14 @@ def _merge_rest_nearest(accel, rays8, t, slot, attrs, eps, n_attrs,
 def _merge_rest_occlusion(accel, rays8, occ, eps, t_max, tmax_arr=None):
     if accel.rest_blocks is None:
         return occ
-    from raytracing_tpu.ops.trace import any_hit_brute
-
-    o = rays8[0:3, :].T
-    d = rays8[4:7, :].T
-    tri = _rest_soa(accel)
-    tm = tmax_arr if tmax_arr is not None else t_max
-    occ_r = any_hit_brute(tri, o, d, tm, eps, block=max(8, tri.v0.shape[0]))
-    return occ | occ_r
+    if tmax_arr is not None:
+        t_lim = tmax_arr[None, :]  # [1, N] per-ray bound
+    elif t_max != float("inf"):
+        t_lim = t_max
+    else:
+        t_lim = None
+    t_r = _rest_t_rows(rays8, accel.rest_blocks, eps, t_limit=t_lim)
+    return occ | jnp.any(jnp.isfinite(t_r), axis=0)
 
 
 # ---------------------------------------------------------------------------
