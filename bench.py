@@ -29,10 +29,9 @@ from raytracing_tpu.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 
 from raytracing_tpu.accel.packets import build_cluster_accel
-from raytracing_tpu.config import RenderConfig
 from raytracing_tpu.geometry.scene import build_default_scene
-from raytracing_tpu.kernels.traverse import nearest_hit_soa
-from raytracing_tpu.models.camera import block_permutation, camera_rays
+from raytracing_tpu.kernels.traverse import nearest_hit_camera_soa
+from raytracing_tpu.ops.sampling import stratified_offsets
 
 BASELINE_RAYS_PER_S = 1e9
 
@@ -63,51 +62,42 @@ def _backend_with_retry(deadline_s: float = 600.0,
 
 def main() -> None:
     on_tpu = _backend_with_retry() == "tpu"
-    cfg = RenderConfig(width=800, height=800, samples_per_pixel=4)
+    w, h, spp = 800, 800, 4
+    measured = w * h * spp
     scene = build_default_scene(t=0.0)
     accel = build_cluster_accel(scene.mesh, cluster_size=16)
 
-    o, d = camera_rays(cfg)
-    spp, h, w = o.shape[:3]
-    perm, _ = block_permutation(spp, h, w, 16, 16)  # 16x16 px x 4spp tiles
-    on = np.asarray(o).reshape(-1, 3)[np.asarray(perm)]
-    dn = np.asarray(d).reshape(-1, 3)[np.asarray(perm)]
-    measured = on.shape[0]
-    # SoA rows: ox oy oz 1 dx dy dz ALIVE (kernels.traverse.rays_to_soa).
-    rays8 = jnp.asarray(
-        np.concatenate(
-            [on.T, np.ones((1, measured), np.float32),
-             dn.T, np.ones((1, measured), np.float32)], axis=0
-        )
-    )
-
-    # Primary rays all leave the pinhole at the origin -> origin-folded
-    # "pmto" intersector (see kernels.traverse._pmt_o_tile). NOTE the
-    # dependency-chain perturbation rides ray 0's DIRECTION row (row 4)
-    # here, not its origin, so the shared-origin contract stays true.
-    o_shared = jnp.zeros(3, jnp.float32)
+    # Camera mode: rays are derived IN KERNEL from the pinhole formula
+    # (kernels.traverse.nearest_hit_camera_soa) — bitwise identical to the
+    # materialized block-order pack, with zero ray HBM traffic, exactly as
+    # the reference computes each pixel's ray inside its loop
+    # (main.rs:321-365). The dependency chain rides the [spp, 2]
+    # stratified offset table: perturbing it changes EVERY ray, so phase 1
+    # culling, visit lists, and the walk are all state-dependent and no
+    # call can be served from the runtime's dispatch cache.
+    offs0 = jnp.asarray(np.asarray(stratified_offsets(spp)))
 
     @jax.jit
-    def frame(state, rays8):
-        r = rays8.at[4, 0].add(state * 1e-12)  # dependency chain
-        t, _ = nearest_hit_soa(accel, r, interpret=not on_tpu,
-                               shared_origin=o_shared)
+    def frame(state, offs):
+        of = offs + state * 1e-12
+        t, _ = nearest_hit_camera_soa(accel, of, width=w, height=h,
+                                      spp=spp, interpret=not on_tpu)
         hit = jnp.isfinite(t)
         return jnp.sum(t, where=hit) * 1e-20, jnp.sum(hit)
 
     @jax.jit
-    def null(state, rays8):
-        r = rays8.at[4, 0].add(state * 1e-12)
-        return jnp.sum(r[4, :8]) * 1e-20, jnp.int32(0)
+    def null(state, offs):
+        of = offs + state * 1e-12
+        return jnp.sum(of) * 1e-20, jnp.int32(0)
 
     def chain(f, iters):
-        s, hits = jax.block_until_ready(f(jnp.float32(0.0), rays8))
+        s, hits = jax.block_until_ready(f(jnp.float32(0.0), offs0))
         best = float("inf")
         for _ in range(3):
             st = s
             t0 = time.perf_counter()
             for _ in range(iters):
-                st, _ = f(st, rays8)
+                st, _ = f(st, offs0)
             jax.block_until_ready(st)
             best = min(best, (time.perf_counter() - t0) / iters)
         return best, hits

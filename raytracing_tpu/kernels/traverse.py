@@ -115,8 +115,10 @@ STREAM_GROUPS = True
 _EARLY_EXIT_MIN_CLUSTERS = 64
 # Visits fused per early-exit check (the while-loop body unrolls this
 # many `body` trips between scalar exit tests — see the early-exit note
-# in _walk_kernel).
-EARLY_EXIT_BATCH = 8
+# in _walk_kernel). Round-3 sweep (exp/r3_sweep.py, v5e): 4 beats 8 and 2
+# on the teapot frame — visit counts average ~2, so an 8-batch overshoots
+# most tiles while 2 checks too often.
+EARLY_EXIT_BATCH = 4
 DEFAULT_VARIANT = "pmt"
 _TINY = 1e-20
 _BIG_ID = 2 ** 30  # python int: kernels may not capture traced constants
@@ -532,10 +534,51 @@ def _woop_tile_t(rays8t, blk, cs, eps, t_limit=None):
     return jnp.where(valid, t, INF)
 
 
+def _camera_dirs(tile, rt, offs_ref, camera):
+    """In-kernel primary-ray direction rows for culling tile `tile` —
+    the TPU-native answer to "don't stream what index arithmetic can
+    recompute": the reference derives each pixel's ray inside its loop
+    (main.rs:321-365); here one [1, RT] lane row per axis is derived from
+    the tile index, so the walk never reads a materialized ray pack from
+    HBM (82 MB/frame at the reference workload, read once by the extents
+    pass and again by the walk).
+
+    camera = (w, h, spp, scale, aspect, bh, bw) — static python values;
+    offs_ref: [spp, 2] SMEM stratified sub-pixel offsets (traced — the
+    benchmark's dependency chain rides them). Tile == one bh x bw pixel
+    block x spp samples in block_ray_ids order (models/camera.py):
+    lane l -> sample s = l // (bh*bw), pixel (by, bx) = divmod(l % (bh*bw),
+    bw), block (br, bc) = divmod(tile, W/bw). The f32 op ORDER matches
+    camera_rays exactly, so derived directions are bitwise identical to
+    the materialized pack's."""
+    w, h, spp, scale, aspect, bh, bw = camera
+    p2 = bh * bw
+    l = jax.lax.broadcasted_iota(jnp.int32, (1, rt), 1)
+    s_idx = l // p2
+    p = l % p2
+    by = p // bw
+    bx = p % bw
+    nbx = w // bw
+    br = tile // nbx
+    bc = tile % nbx
+    xi = (bc * bw + bx).astype(jnp.float32)
+    yi = (br * bh + by).astype(jnp.float32)
+    ox = jnp.zeros((1, rt), jnp.float32)
+    oy = jnp.zeros((1, rt), jnp.float32)
+    for k in range(spp):
+        ox = jnp.where(s_idx == k, offs_ref[k, 0], ox)
+        oy = jnp.where(s_idx == k, offs_ref[k, 1], oy)
+    # Two separate multiplies, matching models/camera.camera_rays's
+    # `* aspect * config.scale` association bit for bit.
+    xx = (2.0 * (xi + ox) / w - 1.0) * aspect * scale
+    yy = (1.0 - 2.0 * (yi + oy) / h) * scale
+    return xx, yy, jnp.ones((1, rt), jnp.float32)
+
+
 def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                  eps, variant, nearest, t_max, n_attrs=0, unroll=1,
                  per_ray_tmax=False, ray_tile=RAY_TILE, ids_mode="prefetch",
-                 early_exit=False):
+                 early_exit=False, camera=None):
     """Shared nearest/any-hit walk over the tile's visit list.
 
     Layout: everything is transposed so RAYS LIVE ON LANES and TRIANGLES
@@ -584,9 +627,20 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
     else:
         (t_ref, i_ref) = refs
         attr_ref = a_ref = None
-    rt_step = rays_ref.shape[1]
     rt = ray_tile
-    subtiles = rt_step // rt
+    if camera is not None:
+        # Camera mode: the "rays" operand slot holds the tiny [spp, 2]
+        # stratified-offset table; ray rows are derived in-register per
+        # subtile (_camera_dirs). Only the origin-folded "pmto"
+        # intersector is supported (primaries share the origin by
+        # definition), and every lane is alive.
+        offs_ref = rays_ref
+        rays_ref = None
+        subtiles = camera[7]
+        rt_step = subtiles * rt
+    else:
+        rt_step = rays_ref.shape[1]
+        subtiles = rt_step // rt
     cs = cluster_size
     ku = unroll
     i = pl.program_id(0)
@@ -594,7 +648,9 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
     for s in range(subtiles):
         tile = i * subtiles + s
         lo = s * rt
-        if variant == "woop":
+        if camera is not None:
+            d_cols = _camera_dirs(tile, rt, offs_ref, camera[:7])
+        elif variant == "woop":
             rays8t = rays_ref[:, lo:lo + rt]  # [8, RT]
         else:
             rows = rays_ref[:, lo:lo + rt]
@@ -732,7 +788,9 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                 # Overflow tiles scan unordered -> their nxt is -inf and
                 # they never exit early.
                 ec = EARLY_EXIT_BATCH
-                alive_lane = rays_ref[7:8, lo:lo + rt] != 0.0  # [1, RT]
+                # Camera mode: every lane is alive by construction.
+                alive_lane = (None if camera is not None
+                              else rays_ref[7:8, lo:lo + rt] != 0.0)
 
                 def wcond(st):
                     return (st[0] < trips) & jnp.logical_not(st[1])
@@ -744,8 +802,8 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                         acc = body(j, acc)
                         j = j + 1
                     per_lane = jnp.min(acc[0], axis=0, keepdims=True)
-                    worst = jnp.max(
-                        jnp.where(alive_lane, per_lane, -INF))
+                    worst = (jnp.max(per_lane) if alive_lane is None else
+                             jnp.max(jnp.where(alive_lane, per_lane, -INF)))
                     nxt = jnp.where(
                         overflow, -INF,
                         tnear_ref[id_row, jnp.minimum(j * ku, width - 1)])
@@ -1578,18 +1636,19 @@ def _rest_soa(accel):
     return TriangleSoA(v0=rb[:, 0:3], e1=rb[:, 3:6], e2=rb[:, 6:9])
 
 
-def _rest_t_rows(rays8, rb, eps, t_limit=None):
+def _rest_t_rows(o, d, rb, eps, t_limit=None):
     """Möller–Trumbore of the whole ray pack against the rest set in the
-    walk kernel's TRANSPOSED layout: rb [Rr, 9] (v0|e1|e2 rows) puts the
-    Rr triangles on SUBLANES, rays on LANES — every intermediate is a
-    dense [Rr, N] outer broadcast. The former [N, Rr] formulation padded
-    the Rr lane axis to 128 in every materialized intermediate: the
-    2-triangle ground plane measured 1.24 ms at 2.56 M rays — more than
-    the entire cluster walk (exp/r3_split2.py, v5e). Math and acceptance
-    mirror ops.intersect.moller_trumbore exactly (same safe-det division,
-    same strict comparisons). Returns t [Rr, N], +inf on miss."""
-    ox, oy, oz = (rays8[k:k + 1, :] for k in (0, 1, 2))
-    dx, dy, dz = (rays8[k:k + 1, :] for k in (4, 5, 6))
+    walk kernel's TRANSPOSED layout: o/d are tuples of [1, N] rows, rb
+    [Rr, 9] (v0|e1|e2 rows) puts the Rr triangles on SUBLANES, rays on
+    LANES — every intermediate is a dense [Rr, N] outer broadcast. The
+    former [N, Rr] formulation padded the Rr lane axis to 128 in every
+    materialized intermediate: the 2-triangle ground plane measured
+    1.24 ms at 2.56 M rays — more than the entire cluster walk
+    (exp/r3_split2.py, v5e). Math and acceptance mirror
+    ops.intersect.moller_trumbore exactly (same safe-det division, same
+    strict comparisons). Returns t [Rr, N], +inf on miss."""
+    ox, oy, oz = o
+    dx, dy, dz = d
 
     def col(k):
         return rb[:, k:k + 1]  # [Rr, 1]
@@ -1630,9 +1689,20 @@ def _merge_rest_nearest(accel, rays8, t, slot, attrs, eps, n_attrs,
     the (static, small) Rr — cost scales with Rr, which the build caps."""
     if accel.rest_blocks is None:
         return t, slot, attrs
+    o_rows = tuple(rays8[k:k + 1, :] for k in (0, 1, 2))
+    d_rows = tuple(rays8[k:k + 1, :] for k in (4, 5, 6))
+    return _merge_rest_nearest_rows(accel, o_rows, d_rows, t, slot, attrs,
+                                    eps, n_attrs, attr_kind)
+
+
+def _merge_rest_nearest_rows(accel, o_rows, d_rows, t, slot, attrs, eps,
+                             n_attrs, attr_kind="shade"):
+    """Row-tuple core of `_merge_rest_nearest` — also used by camera mode,
+    whose direction rows are derived lazily (never materialized as a
+    pack)."""
     rb = accel.rest_blocks  # [Rr, 9]
     rr = rb.shape[0]
-    t_r = _rest_t_rows(rays8, rb, eps)  # [Rr, N]
+    t_r = _rest_t_rows(o_rows, d_rows, rb, eps)  # [Rr, N]
     tmin = jnp.min(t_r, axis=0, keepdims=True)  # [1, N]
     # Tie rule: lowest rest index wins — identical to the old argmin.
     iota = jax.lax.broadcasted_iota(jnp.int32, (rr, 1), 0)
@@ -1660,7 +1730,10 @@ def _merge_rest_occlusion(accel, rays8, occ, eps, t_max, tmax_arr=None):
         t_lim = t_max
     else:
         t_lim = None
-    t_r = _rest_t_rows(rays8, accel.rest_blocks, eps, t_limit=t_lim)
+    o_rows = tuple(rays8[k:k + 1, :] for k in (0, 1, 2))
+    d_rows = tuple(rays8[k:k + 1, :] for k in (4, 5, 6))
+    t_r = _rest_t_rows(o_rows, d_rows, accel.rest_blocks, eps,
+                       t_limit=t_lim)
     return occ | jnp.any(jnp.isfinite(t_r), axis=0)
 
 
@@ -1807,6 +1880,209 @@ def any_hit_soa(
         accel, rp, occ_b, eps, t_max,
         tmax_arr=tmax_row[0] if tmax_row is not None else None)
     return occ_b[:r]
+
+
+# ---------------------------------------------------------------------------
+# Camera mode: primary nearest-hit with IN-KERNEL ray derivation
+# ---------------------------------------------------------------------------
+
+
+def _camera_tile_extents(n_tiles, offs, w, h, spp, scale, aspect, bh, bw):
+    """Analytic per-tile frustum extents for camera mode — no ray pack is
+    read. A tile is one bh x bw pixel block x spp samples; the direction
+    formula is monotone in (pixel + offset) per axis and every f32 op in
+    the chain is monotone under rounding, so evaluating it at the extreme
+    (pixel + offset) yields exactly the min/max the masked reduction over
+    a materialized pack would produce. Returns (o_lo, o_hi, d_lo, d_hi)
+    [nt, 3] — origins are the pinhole at 0."""
+    nbx = w // bw
+    tt = jnp.arange(n_tiles, dtype=jnp.int32)
+    br = tt // nbx
+    bc = tt % nbx
+    ox_min, ox_max = jnp.min(offs[:, 0]), jnp.max(offs[:, 0])
+    oy_min, oy_max = jnp.min(offs[:, 1]), jnp.max(offs[:, 1])
+    x_lo = (bc * bw).astype(jnp.float32) + ox_min
+    x_hi = (bc * bw + (bw - 1)).astype(jnp.float32) + ox_max
+    y_lo = (br * bh).astype(jnp.float32) + oy_min
+    y_hi = (br * bh + (bh - 1)).astype(jnp.float32) + oy_max
+    xx_lo = (2.0 * x_lo / w - 1.0) * aspect * scale
+    xx_hi = (2.0 * x_hi / w - 1.0) * aspect * scale
+    yy_lo = (1.0 - 2.0 * y_hi / h) * scale  # yy decreases in y
+    yy_hi = (1.0 - 2.0 * y_lo / h) * scale
+    one = jnp.ones_like(xx_lo)
+    d_lo = jnp.stack([xx_lo, yy_lo, one], axis=1)
+    d_hi = jnp.stack([xx_hi, yy_hi, one], axis=1)
+    z = jnp.zeros((n_tiles, 3), jnp.float32)
+    return z, z, d_lo, d_hi
+
+
+def _camera_dir_rows_xla(n, offs, w, h, spp, scale, aspect, bh, bw):
+    """XLA twin of `_camera_dirs` over flat block-order ray ids — the
+    producer is pure iota math, so XLA fuses it into its consumer (the
+    rest-set pass) without materializing a pack. Returns (dx, dy, dz)
+    [1, n] rows, bitwise equal to the block-permuted camera_rays pack."""
+    l = jnp.arange(n, dtype=jnp.int32)[None, :]
+    p2 = bh * bw
+    run = spp * p2
+    b = l // run
+    r = l % run
+    s_idx = r // p2
+    p = r % p2
+    by = p // bw
+    bx = p % bw
+    nbx = w // bw
+    br = b // nbx
+    bc = b % nbx
+    xi = (bc * bw + bx).astype(jnp.float32)
+    yi = (br * bh + by).astype(jnp.float32)
+    ox = jnp.zeros((1, n), jnp.float32)
+    oy = jnp.zeros((1, n), jnp.float32)
+    for k in range(spp):
+        ox = jnp.where(s_idx == k, offs[k, 0], ox)
+        oy = jnp.where(s_idx == k, offs[k, 1], oy)
+    xx = (2.0 * (xi + ox) / w - 1.0) * aspect * scale
+    yy = (1.0 - 2.0 * (yi + oy) / h) * scale
+    return xx, yy, jnp.ones((1, n), jnp.float32)
+
+
+def _launch_camera(kern, cnt, ids, offs, blocks, interpret, n_attrs=0,
+                   subtiles=SUBTILES, tnear=None, n_tiles=None,
+                   ray_tile=RAY_TILE):
+    """One-launch camera-mode walk: visit lists stream per grid step as
+    SMEM slices (the "smem" ids mode — no whole-array SMEM residency, so
+    no chunked launches at any tile count); the only tensor operands are
+    the [spp, 2] offset table and the kernel block tables."""
+    rp = n_tiles * ray_tile
+    step = ray_tile * subtiles
+    n_steps = n_tiles // subtiles
+    out_rows = [1, 1] + ([n_attrs] if n_attrs else [])
+    out_dtypes = [jnp.float32, jnp.int32] + ([jnp.float32] if n_attrs else [])
+    w = ids.shape[1]
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    in_specs = [smem((subtiles, 1), lambda i, *_: (i, 0)),
+                smem((subtiles, w), lambda i, *_: (i, 0))]
+    operands = [cnt[:, None], ids]
+    if tnear is not None:
+        in_specs.append(smem((subtiles, w), lambda i, *_: (i, 0)))
+        operands.append(tnear)
+    in_specs.append(smem(offs.shape, lambda i, *_: (0, 0)))
+    operands.append(offs)
+    for b in blocks:
+        in_specs.append(pl.BlockSpec(
+            b.shape, lambda i, *_, nd=b.ndim: (0,) * nd))
+        operands.append(b)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((rows, step), lambda i, *_: (0, i))
+            for rows in out_rows
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, rp), dt)
+        for rows, dt in zip(out_rows, out_dtypes)
+    ]
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(*operands)
+
+
+def nearest_hit_camera_soa(
+    accel: ClusterAccel,
+    offs: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    scale: float = 1.0,
+    eps: float = 1e-8,
+    interpret: bool | None = None,
+    bh: int = 16,
+    bw: int = 16,
+    with_attrs: bool = False,
+    early_exit: bool | None = None,
+):
+    """Primary nearest hit with rays derived IN KERNEL from the pinhole
+    camera formula (camera mode) — the TPU-native sibling of the
+    reference's per-pixel ray computation (main.rs:321-365). No ray pack
+    exists anywhere: tile frustums come from closed-form extents, the
+    walk derives each [1, RT] direction row from its tile index, and the
+    rest-set pass consumes lazily-derived rows fused by XLA. Removes
+    ~3 x 82 MB of per-frame HBM traffic at the reference workload.
+
+    offs: [spp, 2] stratified sub-pixel offsets (traced — perturbing them
+    varies every ray, which is how the benchmark's dependency chain rides
+    this path). Ray order is the bh x bw block permutation
+    (models/camera.block_ray_ids); derived directions are bitwise
+    identical to the block-permuted `camera_rays` pack.
+
+    Returns (t [N], slot [N]) — or (t, slot, attrs [A, N]) with
+    with_attrs — in block order. Requires bw | width, bh | height, and a
+    scene whose pmt blocks fit the resident-VMEM budget."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    if width % bw or height % bh:
+        raise ValueError("camera mode needs bw | width and bh | height")
+    if accel.pmt_blocks is None:
+        raise ValueError("camera mode needs pmt blocks "
+                         "(build_cluster_accel(..., variants with 'pmt'))")
+    aspect = float(width) / float(height)
+    rt = spp * bh * bw
+    n_tiles = (width // bw) * (height // bh)
+    n = n_tiles * rt
+    n_attrs = accel.attr_blocks.shape[1] if with_attrs else 0
+    gsz = _vmem_group_clusters(accel, "pmt", n_attrs)
+    c_total = accel.num_clusters
+    if c_total > gsz:
+        raise ValueError("camera mode requires resident kernel blocks; "
+                         f"scene has {c_total} clusters > budget {gsz}")
+    offs = jax.lax.stop_gradient(jnp.asarray(offs, jnp.float32))
+    o_lo, o_hi, d_lo, d_hi = _camera_tile_extents(
+        n_tiles, offs, width, height, spp, scale, aspect, bh, bw)
+    ids, tnear, cnt = _visit_lists_from_extents(
+        o_lo, o_hi, d_lo, d_hi, accel.cluster_min, accel.cluster_max)
+    early = (c_total > _EARLY_EXIT_MIN_CLUSTERS if early_exit is None
+             else bool(early_exit))
+    blocks = (_fold_origin(accel.pmt_blocks, jnp.zeros(3, jnp.float32)),)
+    if n_attrs:
+        blocks = blocks + (accel.attr_blocks,)
+    subtiles = SUBTILES
+    pad_t = (-n_tiles) % subtiles
+    if pad_t:  # padding tiles carry cnt 0 and cost one empty subtile each
+        cnt = jnp.concatenate([cnt, jnp.zeros(pad_t, cnt.dtype)])
+        ids = jnp.concatenate(
+            [ids, jnp.zeros((pad_t, ids.shape[1]), ids.dtype)])
+        tnear = jnp.concatenate(
+            [tnear, jnp.full((pad_t, tnear.shape[1]), INF, tnear.dtype)])
+    camera = (width, height, spp, scale, aspect, bh, bw, subtiles)
+    kern = functools.partial(
+        _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
+        variant="pmto", nearest=True, t_max=float("inf"),
+        n_attrs=n_attrs, unroll=1, per_ray_tmax=False, ray_tile=rt,
+        ids_mode="smem", early_exit=early, camera=camera)
+    out = _launch_camera(kern, cnt, ids, offs, blocks, interpret,
+                         n_attrs=n_attrs, subtiles=subtiles,
+                         tnear=tnear if early else None,
+                         n_tiles=n_tiles + pad_t, ray_tile=rt)
+    t = out[0][:, :n]
+    slot = out[1][:, :n]
+    attrs = out[2][:, :n] if n_attrs else None
+    d_rows = _camera_dir_rows_xla(n, offs, width, height, spp, scale,
+                                  aspect, bh, bw)
+    o_rows = tuple(jnp.zeros((1, n), jnp.float32) for _ in range(3))
+    if accel.rest_blocks is not None:
+        t, slot, attrs = _merge_rest_nearest_rows(
+            accel, o_rows, d_rows, t, slot, attrs, eps, n_attrs)
+    if n_attrs:
+        return t[0], slot[0], attrs
+    return t[0], slot[0]
 
 
 def nearest_hit_pallas(

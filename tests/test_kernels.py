@@ -291,3 +291,53 @@ def test_ids_mode_vmem_sliced_parity(setup, monkeypatch):
     got2 = nearest_hit_pallas(mesh, accel, o, d, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got2.t))
     np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(got2.tri))
+
+
+def test_camera_mode_matches_pack_path():
+    """Camera mode (in-kernel ray derivation, nearest_hit_camera_soa) must
+    match tracing the materialized block-order camera pack: identical hit
+    masks and winning triangles, t within float tolerance (XLA may
+    FMA-contract the fused in-kernel/lazy direction math differently from
+    the materialized-pack reads — ulp-level t differences on a few % of
+    lanes, same contract as the other parity tests)."""
+    from raytracing_tpu.config import RenderConfig
+    from raytracing_tpu.geometry.scene import build_default_scene
+    from raytracing_tpu.kernels.traverse import (
+        nearest_hit_camera_soa, nearest_hit_soa,
+    )
+    from raytracing_tpu.models.camera import block_permutation, camera_rays
+    from raytracing_tpu.ops.sampling import stratified_offsets
+
+    w = h = 48
+    spp = 4
+    cfg = RenderConfig(width=w, height=h, samples_per_pixel=spp)
+    scene = build_default_scene(t=0.0)
+    accel = build_cluster_accel(scene.mesh, cluster_size=16)
+
+    o, d = camera_rays(cfg)
+    perm, _ = block_permutation(spp, h, w, 16, 16)
+    on = np.asarray(o).reshape(-1, 3)[np.asarray(perm)]
+    dn = np.asarray(d).reshape(-1, 3)[np.asarray(perm)]
+    n = on.shape[0]
+    rays8 = jnp.asarray(np.concatenate(
+        [on.T, np.ones((1, n), np.float32), dn.T,
+         np.ones((1, n), np.float32)], axis=0))
+
+    t0, tri0 = nearest_hit_soa(accel, rays8, interpret=True,
+                               shared_origin=jnp.zeros(3))
+    offs = stratified_offsets(spp)
+    t1, s1, a1 = nearest_hit_camera_soa(accel, offs, width=w, height=h,
+                                        spp=spp, interpret=True,
+                                        with_attrs=True)
+    t0n, t1n = np.asarray(t0), np.asarray(t1)
+    hit = np.isfinite(t1n)
+    np.testing.assert_array_equal(np.isfinite(t0n), hit)
+    np.testing.assert_allclose(t0n[hit], t1n[hit], rtol=1e-5)
+    assert 0.2 < hit.mean() < 0.9
+    order_ext = np.asarray(accel.order_ext)
+    tri1 = np.where(hit, order_ext[np.where(hit, np.asarray(s1), 0)], 0)
+    np.testing.assert_array_equal(np.asarray(tri0), tri1)
+    # attrs: winner normals must be finite and zero on miss lanes
+    a1 = np.asarray(a1)
+    assert np.isfinite(a1).all()
+    assert (a1[:, ~hit] == 0.0).all()
