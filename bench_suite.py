@@ -122,40 +122,38 @@ def bench_backward_over_forward(scene, accel, cfg):
 
 def bench_large_scene(on_tpu):
     """Primary nearest-hit rays/s on the subdivided teapot (404k / 1.6M
-    triangles) through the pallas grouped walk — BASELINE config 4."""
+    triangles) through camera mode (in-kernel ray derivation + 2-stage
+    refined supertile culling) — BASELINE config 4. Cluster sizes per
+    scale from the round-3 sweep (exp/r3_large*.py): 64 at 404k, 128 at
+    1.6M (the largest whose pmt table stays VMEM-resident)."""
     from raytracing_tpu.geometry.scene import subdivided_teapot_mesh
-    from raytracing_tpu.kernels import traverse as tr
-    from raytracing_tpu.models.camera import block_permutation, camera_rays
+    from raytracing_tpu.kernels.traverse import nearest_hit_camera_soa
+    from raytracing_tpu.ops.sampling import stratified_offsets
 
-    cfg = RenderConfig(width=800, height=800, samples_per_pixel=4)
-    o, d = camera_rays(cfg)
-    spp, h, w = o.shape[:3]
-    perm, _ = block_permutation(spp, h, w, 16, 16)
-    on = np.asarray(o).reshape(-1, 3)[np.asarray(perm)]
-    dn = np.asarray(d).reshape(-1, 3)[np.asarray(perm)]
-    n = on.shape[0]
-    rays8 = jnp.asarray(np.concatenate(
-        [on.T, np.ones((1, n), np.float32), dn.T,
-         np.ones((1, n), np.float32)], axis=0))
+    w, h, spp = 800, 800, 4
+    n = w * h * spp
+    offs0 = jnp.asarray(np.asarray(stratified_offsets(spp)))
 
     out = {}
-    for levels, tag in ((3, "404k"), (4, "1m6")):
+    for levels, tag, cs in ((3, "404k", 64), (4, "1m6", 128)):
         t0 = time.perf_counter()
         mesh = subdivided_teapot_mesh(levels=levels)
         t1 = time.perf_counter()
         _emit(f"mesh_gen_{tag}", t1 - t0, "s")
-        accel = build_cluster_accel(mesh, cluster_size=64)
+        accel = build_cluster_accel(mesh, cluster_size=cs,
+                                    variants=("pmt",))
         jax.block_until_ready(accel.cluster_min)
         _emit(f"accel_build_{tag}", time.perf_counter() - t1, "s")
 
         @jax.jit
-        def step(c, rays8):
-            r = rays8.at[0, 0].add(c * 1e-12)
-            t, _ = tr.nearest_hit_soa(accel, r, interpret=not on_tpu)
+        def step(c, offs):
+            of = offs + c * 1e-12
+            t, _ = nearest_hit_camera_soa(accel, of, width=w, height=h,
+                                          spp=spp, interpret=not on_tpu)
             hit = jnp.isfinite(t)
             return jnp.sum(t, where=hit) * 1e-20, jnp.sum(hit)
 
-        s, hits = jax.block_until_ready(step(jnp.float32(0.0), rays8))
+        s, hits = jax.block_until_ready(step(jnp.float32(0.0), offs0))
         assert 0.05 < float(hits) / n < 0.95, float(hits) / n
         best = float("inf")
         iters = 10 if on_tpu else 1
@@ -163,7 +161,7 @@ def bench_large_scene(on_tpu):
             st = s
             t0 = time.perf_counter()
             for _ in range(iters):
-                st, _ = step(st, rays8)
+                st, _ = step(st, offs0)
             jax.block_until_ready(st)
             best = min(best, (time.perf_counter() - t0) / iters)
         out[tag] = n / best

@@ -124,6 +124,15 @@ _TINY = 1e-20
 _BIG_ID = 2 ** 30  # python int: kernels may not capture traced constants
 
 
+def _ee_batch_for(cs):
+    """Visits fused per early-exit check, scaled inversely with cluster
+    size: a [CS, RT] visit's VPU cost grows with CS while the exit
+    check's vector->scalar stall is constant, so big clusters check more
+    often (EARLY_EXIT_BATCH is the small-cluster base). Swept on v5e at
+    404k tris (exp/r3_large.py): cs=64 -> 2, cs=128 -> 1."""
+    return max(1, min(EARLY_EXIT_BATCH, 128 // cs))
+
+
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -191,6 +200,14 @@ def _tile_extents_pallas(rays8, rt, interpret):
     return lo, hi
 
 
+def _supertile_group(c):
+    """Phase-2 row-pooling factor for a c-cluster set (see
+    _PHASE2_SUPERTILE)."""
+    if _PHASE2_SUPERTILE > 1 and c > _SUPERTILE_MIN_C:
+        return _PHASE2_SUPERTILE
+    return 1
+
+
 def _tile_visit_lists_soa(rays8, cluster_min, cluster_max, rt,
                           interpret=False, t_cap=None):
     """Visit lists from the SoA ray pack [8, N] (rows ox oy oz 1 dx dy dz
@@ -199,7 +216,15 @@ def _tile_visit_lists_soa(rays8, cluster_min, cluster_max, rt,
     paths — carry arbitrary garbage o/d that would otherwise widen a mixed
     tile's frustum to the whole scene. An all-dead tile gets cnt = 0 and
     costs one empty grid step. Extents come from the small Pallas
-    reduction kernel (_extents_kernel)."""
+    reduction kernel (_extents_kernel).
+
+    NOTE: no supertile pooling on this path — it serves ARBITRARY ray
+    batches, where consecutive tiles carry no spatial-adjacency
+    guarantee. The primary pack's raster block order wraps across screen
+    rows: a pooled run spanning the wrap gets a screen-wide frustum
+    (measured: 4% of tiles overflowing to full-scene scans at 404k
+    tris). Camera mode pools 2-D block neighborhoods instead
+    (nearest_hit_camera_soa)."""
     lo, hi = _tile_extents_pallas(rays8, rt, interpret)
     o_lo, o_hi = lo[:, 0:3], hi[:, 0:3]
     d_lo, d_hi = lo[:, 4:7], hi[:, 4:7]
@@ -219,8 +244,25 @@ def _tile_visit_lists_soa(rays8, cluster_min, cluster_max, rt,
 # at S = C/G, at the price of coarser selection (every member of a hit
 # supercell is walked; the in-kernel front-to-back early exit prunes the
 # excess). Set _SUPERCELL_MIN_C = None to disable.
-_SUPERCELL_MIN_C = 4096
+#
+# DISABLED by default since round 3: the x8 walk inflation was the 404k-
+# triangle collapse (diag_large: cs=64 supercell lists average 67 entries
+# = 4,295 tri tests/ray where exact cluster lists average ~8). Exact
+# cluster-level lists + supertile-pooled phase 2 (_PHASE2_SUPERTILE) +
+# the batched front-to-back early exit replace it at every scale.
+_SUPERCELL_MIN_C = None
 _SUPERCELL_G = 8
+
+# Phase 2 row pooling: above this cluster count, visit lists are computed
+# per SUPERTILE (_PHASE2_SUPERTILE consecutive culling tiles sharing one
+# pooled frustum) and repeated back to per-tile rows. The top_k over
+# [tiles, C] rows is phase 2's dominant cost at large C; pooling divides
+# its row count by the group size while the slightly wider shared frustum
+# only lengthens each list a little (adjacent 16x16-pixel blocks see
+# nearly the same clusters). Lists remain exact supersets per tile and
+# stay entry-t ordered, so the walk and its early exit are unchanged.
+_PHASE2_SUPERTILE = 4
+_SUPERTILE_MIN_C = 2048
 
 
 def _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi, cluster_min,
@@ -578,7 +620,7 @@ def _camera_dirs(tile, rt, offs_ref, camera):
 def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                  eps, variant, nearest, t_max, n_attrs=0, unroll=1,
                  per_ray_tmax=False, ray_tile=RAY_TILE, ids_mode="prefetch",
-                 early_exit=False, camera=None):
+                 early_exit=False, camera=None, ee_batch=None):
     """Shared nearest/any-hit walk over the tile's visit list.
 
     Layout: everything is transposed so RAYS LIVE ON LANES and TRIANGLES
@@ -787,7 +829,7 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                 # of walking hundreds of silhouette near-misses.
                 # Overflow tiles scan unordered -> their nxt is -inf and
                 # they never exit early.
-                ec = EARLY_EXIT_BATCH
+                ec = ee_batch if ee_batch else EARLY_EXIT_BATCH
                 # Camera mode: every lane is alive by construction.
                 alive_lane = (None if camera is not None
                               else rays_ref[7:8, lo:lo + rt] != 0.0)
@@ -856,7 +898,7 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
 def _gstream_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                     group_size, eps, variant, nearest, t_max, n_attrs=0,
                     per_ray_tmax=False, ray_tile=RAY_TILE,
-                    early_exit=False):
+                    early_exit=False, ee_batch=None):
     """STREAMED-GROUPS walk: the >VMEM sibling of `_walk_kernel`.
 
     Grid is (n_steps, n_groups) with groups INNERMOST: iteration (i, g)
@@ -984,7 +1026,7 @@ def _gstream_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                 tuple(acc_a_refs[kk][:, lo:lo + rt]
                       for kk in range(n_attrs))
             if early_exit:
-                ec = EARLY_EXIT_BATCH
+                ec = ee_batch if ee_batch else EARLY_EXIT_BATCH
                 alive_lane = rays_ref[7:8, lo:lo + rt] != 0.0
 
                 def wcond(st):
@@ -1459,7 +1501,8 @@ def _attr_table(accel: ClusterAccel, variant: str, attr_kind: str):
 
 
 def _vmem_group_clusters(accel: ClusterAccel, variant: str,
-                         n_attrs: int, attr_kind: str = "shade") -> int:
+                         n_attrs: int, attr_kind: str = "shade",
+                         budget: int | None = None) -> int:
     """Max clusters whose kernel blocks fit the VMEM budget at once.
     VMEM pads each cluster's [rows, CS] block to [ceil(rows/8)*8,
     ceil(CS/128)*128] floats."""
@@ -1475,7 +1518,14 @@ def _vmem_group_clusters(accel: ClusterAccel, variant: str,
     b = per_cluster(blocks)
     if n_attrs:
         b += per_cluster(_attr_table(accel, variant, attr_kind))
-    return max(256, _PALLAS_BLOCK_BUDGET_BYTES // b)
+    return max(256, (budget or _PALLAS_BLOCK_BUDGET_BYTES) // b)
+
+
+# Camera mode carries no ray-pack operands (rays derive in-register), so
+# its resident block budget can run closer to the chip's 128 MB VMEM: a
+# 1.6M-triangle scene's cs=128 pmt table (101 MB) compiles and runs
+# resident at this budget on v5e.
+_CAMERA_BLOCK_BUDGET_BYTES = 106 * 1024 * 1024
 
 
 def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
@@ -1527,22 +1577,32 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
         early = (nearest and tmax_row is None
                  and ((hi - lo) > _EARLY_EXIT_MIN_CLUSTERS
                       if early_exit is None else bool(early_exit)))
+        ids, tnear, cnt = _tile_visit_lists_soa(
+            rp, accel.cluster_min[lo:hi], accel.cluster_max[lo:hi],
+            RAY_TILE, interpret=interpret, t_cap=t_cap)
+        # Wide lists (large scenes) would force chunked prefetch-mode
+        # launches; stream the lists per grid step instead (one launch).
+        mode = IDS_MODE
+        if mode == "prefetch":
+            eb = 8 if early else 4
+            max_t = max(SUBTILES, _SMEM_IDS_BUDGET_BYTES
+                        // (eb * ids.shape[1]) // SUBTILES * SUBTILES)
+            if ids.shape[0] > max_t:
+                mode = "smem"
         kern = functools.partial(
             _walk_kernel, cluster_size=cs, eps=eps, variant=variant,
             nearest=nearest, t_max=t_max, n_attrs=n_attrs,
             unroll=VISIT_UNROLL, per_ray_tmax=tmax_row is not None,
-            ray_tile=RAY_TILE, ids_mode=IDS_MODE, early_exit=early,
+            ray_tile=RAY_TILE, ids_mode=mode, early_exit=early,
+            ee_batch=_ee_batch_for(cs),
         )
-        ids, tnear, cnt = _tile_visit_lists_soa(
-            rp, accel.cluster_min[lo:hi], accel.cluster_max[lo:hi],
-            RAY_TILE, interpret=interpret, t_cap=t_cap)
         blocks = (all_blocks[lo:hi],)
         if n_attrs:
             blocks = blocks + (all_attrs[lo:hi],)
         out = _launch_walk(kern, cnt, ids, rp, blocks, interpret,
                            n_attrs=n_attrs, tmax_row=tmax_row,
                            ray_tile=RAY_TILE, subtiles=SUBTILES,
-                           ids_mode=IDS_MODE,
+                           ids_mode=mode,
                            tnear=tnear if early else None)
         if nearest:
             t_g, s_g = out[0], out[1] + lo * cs
@@ -1615,6 +1675,7 @@ def _walk_groups_streamed(accel, rp, eps, interpret, variant, nearest,
         variant=variant, nearest=nearest, t_max=t_max, n_attrs=n_attrs,
         per_ray_tmax=tmax_row is not None, ray_tile=RAY_TILE,
         early_exit=early,
+        ee_batch=_ee_batch_for(cs),
     )
     out = _launch_gstream(kern, cnt, ids, rp, blocks, interpret,
                           n_attrs=n_attrs, tmax_row=tmax_row,
@@ -2038,7 +2099,8 @@ def nearest_hit_camera_soa(
     n_tiles = (width // bw) * (height // bh)
     n = n_tiles * rt
     n_attrs = accel.attr_blocks.shape[1] if with_attrs else 0
-    gsz = _vmem_group_clusters(accel, "pmt", n_attrs)
+    gsz = _vmem_group_clusters(accel, "pmt", n_attrs,
+                               budget=_CAMERA_BLOCK_BUDGET_BYTES)
     c_total = accel.num_clusters
     if c_total > gsz:
         raise ValueError("camera mode requires resident kernel blocks; "
@@ -2046,8 +2108,136 @@ def nearest_hit_camera_soa(
     offs = jax.lax.stop_gradient(jnp.asarray(offs, jnp.float32))
     o_lo, o_hi, d_lo, d_hi = _camera_tile_extents(
         n_tiles, offs, width, height, spp, scale, aspect, bh, bw)
-    ids, tnear, cnt = _visit_lists_from_extents(
-        o_lo, o_hi, d_lo, d_hi, accel.cluster_min, accel.cluster_max)
+    g = _supertile_group(c_total)
+    nby, nbx = height // bh, width // bw
+    if g > 1:
+        # 2-D pooling: a supertile is a 2x2 BLOCK NEIGHBORHOOD (32x32
+        # pixels), never a raster-order run — consecutive blocks wrap
+        # across screen rows, and one wrapping group's frustum spans the
+        # whole screen (measured: 4% of tiles overflowing to full-scene
+        # scans at 404k tris). Camera mode knows the block grid, so it
+        # pools spatially.
+        #
+        # PHASE ALIGNMENT: a pooled group whose direction interval spans
+        # 0 on an axis makes that slab axis unbounded (the interval test
+        # must admit t -> inf as d -> 0), so a group straddling the
+        # screen-center axis flags essentially the whole scene (measured
+        # ~3% of supertiles degenerating to full scans). The zero
+        # crossing sits at pixel W/2 (resp. H/2); phase-shift the group
+        # grid so it falls on a group boundary.
+        px = (width // 2 // bw) % 2
+        py = (height // 2 // bh) % 2
+        nby2 = (py + nby + 1) // 2
+        nbx2 = (px + nbx + 1) // 2
+        big = jnp.float32(3e38)
+
+        def pool2d(a, inverted):
+            fill = -big if inverted else big
+            a = a.reshape(nby, nbx, 3)
+            a = jnp.pad(a, ((py, 2 * nby2 - nby - py),
+                            (px, 2 * nbx2 - nbx - px), (0, 0)),
+                        constant_values=fill)
+            a = a.reshape(nby2, 2, nbx2, 2, 3)
+            return (a.max((1, 3)) if inverted else a.min((1, 3))
+                    ).reshape(nby2 * nbx2, 3)
+
+        po_lo, po_hi = pool2d(o_lo, False), pool2d(o_hi, True)
+        pd_lo, pd_hi = pool2d(d_lo, False), pool2d(d_hi, True)
+        ids_p, tnear_p, cnt_p = _visit_lists_from_extents(
+            po_lo, po_hi, pd_lo, pd_hi, accel.cluster_min,
+            accel.cluster_max)
+        # REFINE: the pooled (32x32-pixel) frustum lists average ~2.3x
+        # the exact per-tile length at 1.6M tris — walk inflation that
+        # costs more than the pooled top_k saves. One small gather of
+        # the CANDIDATE clusters' AABBs per supertile (shared by its 4
+        # member tiles) + a per-tile interval re-test + a narrow top_k
+        # recovers EXACT per-tile lists, entry-t ordered by the tile's
+        # own frustum. Correctness: per-tile pass => pooled pass => in
+        # the candidate list (unless the pooled list overflowed, which
+        # falls back to the kernel's full scan via a forced huge cnt).
+        nst, wp = ids_p.shape
+        cm = jnp.take(accel.cluster_min, ids_p.reshape(-1),
+                      axis=0).reshape(nst, wp, 3)
+        cx = jnp.take(accel.cluster_max, ids_p.reshape(-1),
+                      axis=0).reshape(nst, wp, 3)
+
+        def grp4(a):
+            # [nt, 3] tile rows -> [nst, 4, 3] group-member layout.
+            # Pad value is irrelevant: padded member tiles are sliced
+            # away by ungrp before anything reads them.
+            a = a.reshape(nby, nbx, 3)
+            a = jnp.pad(a, ((py, 2 * nby2 - nby - py),
+                            (px, 2 * nbx2 - nbx - px), (0, 0)),
+                        constant_values=0.0)
+            a = a.reshape(nby2, 2, nbx2, 2, 3).transpose(0, 2, 1, 3, 4)
+            return a.reshape(nst, 4, 3)
+
+        ol4, oh4 = grp4(o_lo), grp4(o_hi)
+        dl4, dh4 = grp4(d_lo), grp4(d_hi)
+        t_near_lb = None
+        t_far_ub = None
+        for k in range(3):
+            spans0 = (dl4[:, :, k] <= 0.0) & (dh4[:, :, k] >= 0.0)
+            dl_ = jnp.where(jnp.abs(dl4[:, :, k]) < _TINY, _TINY,
+                            dl4[:, :, k])
+            dh_ = jnp.where(jnp.abs(dh4[:, :, k]) < _TINY, _TINY,
+                            dh4[:, :, k])
+            i_lo = (1.0 / dh_)[:, :, None]          # [nst, 4, 1]
+            i_hi = (1.0 / dl_)[:, :, None]
+            e_lo = cm[:, None, :, k] - oh4[:, :, k:k + 1]  # [nst, 4, W]
+            e_hi = cx[:, None, :, k] - ol4[:, :, k:k + 1]
+            p1, p2 = e_lo * i_lo, e_lo * i_hi
+            p3, p4 = e_hi * i_lo, e_hi * i_hi
+            tmin_ax = jnp.minimum(jnp.minimum(p1, p2),
+                                  jnp.minimum(p3, p4))
+            tmax_ax = jnp.maximum(jnp.maximum(p1, p2),
+                                  jnp.maximum(p3, p4))
+            unb = spans0[:, :, None]
+            tmin_ax = jnp.where(unb, -INF, tmin_ax)
+            tmax_ax = jnp.where(unb, INF, tmax_ax)
+            t_near_lb = (tmin_ax if k == 0
+                         else jnp.maximum(t_near_lb, tmin_ax))
+            t_far_ub = (tmax_ax if k == 0
+                        else jnp.minimum(t_far_ub, tmax_ax))
+        # Padding candidates (rows beyond the pooled cnt) carry keys from
+        # clusters whose POOLED test failed; the tighter per-tile test
+        # fails them too, so no cnt mask is needed here.
+        flags2 = (t_near_lb <= t_far_ub) & (t_far_ub >= 0.0)
+        # PACKED selection — no gather: the sort key carries the
+        # quantized entry-t in its high bits and the GLOBAL cluster id
+        # in its low bits, so one top_k yields both, in front-to-back
+        # order. Quantization truncates the f32 pattern's low bits:
+        # monotone, and the decoded value can only be LOWER than the
+        # true entry-t — still a valid lower bound, so the kernel's
+        # early exit stays exact. Clamping to [0, 3e38] keeps flagged
+        # keys strictly below the +inf unflagged pattern (accepted t is
+        # always > eps > 0, so a 0-clamped bound remains valid).
+        idbits = max(1, (c_total - 1).bit_length())
+        mask_lo = (1 << idbits) - 1
+        keys_c = jnp.where(flags2, jnp.clip(t_near_lb, 0.0, 3e38), INF)
+        bits = jax.lax.bitcast_convert_type(keys_c, jnp.int32)
+        packed = (bits & ~mask_lo) | ids_p[:, None, :]
+        negp, _ = jax.lax.top_k(-packed, wp)        # [nst, 4, W]
+        packed_s = -negp
+        ids2 = packed_s & mask_lo
+        tnear2 = jax.lax.bitcast_convert_type(packed_s & ~mask_lo,
+                                              jnp.float32)
+        cnt2 = jnp.sum(flags2, axis=2, dtype=jnp.int32)
+        # Pooled overflow (candidates may be incomplete) -> full scan.
+        cnt2 = jnp.where((cnt_p > wp)[:, None], jnp.int32(_BIG_ID), cnt2)
+
+        def ungrp(a, w_):
+            # [nst, 4, w] -> [nt, w] inverse of grp4
+            a = a.reshape(nby2, nbx2, 2, 2, w_).transpose(0, 2, 1, 3, 4)
+            a = a.reshape(2 * nby2, 2 * nbx2, w_)
+            return a[py:py + nby, px:px + nbx].reshape(n_tiles, w_)
+
+        ids = ungrp(ids2, wp)
+        tnear = ungrp(tnear2, wp)
+        cnt = ungrp(cnt2[:, :, None], 1)[:, 0]
+    else:
+        ids, tnear, cnt = _visit_lists_from_extents(
+            o_lo, o_hi, d_lo, d_hi, accel.cluster_min, accel.cluster_max)
     early = (c_total > _EARLY_EXIT_MIN_CLUSTERS if early_exit is None
              else bool(early_exit))
     blocks = (_fold_origin(accel.pmt_blocks, jnp.zeros(3, jnp.float32)),)
@@ -2066,7 +2256,8 @@ def nearest_hit_camera_soa(
         _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
         variant="pmto", nearest=True, t_max=float("inf"),
         n_attrs=n_attrs, unroll=1, per_ray_tmax=False, ray_tile=rt,
-        ids_mode="smem", early_exit=early, camera=camera)
+        ids_mode="smem", early_exit=early, camera=camera,
+        ee_batch=_ee_batch_for(accel.cluster_size))
     out = _launch_camera(kern, cnt, ids, offs, blocks, interpret,
                          n_attrs=n_attrs, subtiles=subtiles,
                          tnear=tnear if early else None,

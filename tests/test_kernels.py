@@ -341,3 +341,24 @@ def test_camera_mode_matches_pack_path():
     a1 = np.asarray(a1)
     assert np.isfinite(a1).all()
     assert (a1[:, ~hit] == 0.0).all()
+
+
+def test_camera_mode_refined_pooling_exact(monkeypatch):
+    """The 2-stage refined supertile culling (pool 2x2 blocks -> per-tile
+    interval re-test of the candidates) must produce EXACTLY the same
+    results as unpooled per-tile lists — it only reorganizes phase 2."""
+    import raytracing_tpu.kernels.traverse as T
+    from raytracing_tpu.geometry.scene import build_default_scene
+    from raytracing_tpu.ops.sampling import stratified_offsets
+
+    w, h, spp = 48, 32, 4  # odd block grid: exercises phase padding
+    scene = build_default_scene(t=0.0)
+    accel = build_cluster_accel(scene.mesh, cluster_size=16)
+    offs = stratified_offsets(spp)
+    t0, s0 = T.nearest_hit_camera_soa(accel, offs, width=w, height=h,
+                                      spp=spp, interpret=True)
+    monkeypatch.setattr(T, "_SUPERTILE_MIN_C", 0)  # force pooling+refine
+    t1, s1 = T.nearest_hit_camera_soa(accel, offs, width=w, height=h,
+                                      spp=spp, interpret=True)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
