@@ -25,12 +25,11 @@ from raytracing_tpu.accel.packets import build_cluster_accel
 from raytracing_tpu.config import RenderConfig
 from raytracing_tpu.geometry.scene import build_default_scene
 from raytracing_tpu.kernels.binning import (
-    bin_key, bin_sort, bounce_bin_key, scene_bounds, unsort)
+    bin_sort, bounce_bin_key, scene_bounds)
 from raytracing_tpu.models.camera import block_ray_ids, camera_rays_for_ids
 from raytracing_tpu.models.whitted import render_rays, shade
 from raytracing_tpu.ops.intersect import reflect
 from raytracing_tpu.ops.sampling import cosine_hemisphere
-from raytracing_tpu.ops.linalg import dot
 from raytracing_tpu.tracer import nearest_hit_shaded
 
 
@@ -52,7 +51,10 @@ def main():
         h, attrs = nearest_hit_shaded(
             mesh, accel, o, d, cfg,
             shared_origin=o[0] if cfg.primary_shared_origin else None)
-        return h.t + jax.random.uniform(key, ()) * 0.0, (h, attrs)
+        # Value-preserving key dependency (an x*0.0 term could be
+        # folded away, letting the dispatch cache dedupe the stage).
+        return h.t + jax.random.uniform(key, (), minval=0.0,
+                                        maxval=1e-30), (h, attrs)
 
     def l1_shade(key):
         _, (h, attrs) = l1_trace(key)

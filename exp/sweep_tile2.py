@@ -46,6 +46,21 @@ def chain(f, rays8, iters=20):
 
 
 def main():
+    # Restore traverse's tunables even if a sweep configuration
+    # raises mid-run (ADVICE r2: module globals leaked otherwise).
+    import raytracing_tpu.kernels.traverse as _tv
+    _DEFADV = {k: getattr(_tv, k) for k in
+               ('RAY_TILE', 'SUBTILES', 'VISIT_UNROLL',
+                'EARLY_EXIT_BATCH', '_EARLY_EXIT_MIN_CLUSTERS',
+                '_MAX_VISITS')}
+    try:
+        _main_body()
+    finally:
+        for k, v in _DEFADV.items():
+            setattr(_tv, k, v)
+
+
+def _main_body():
     scene = build_default_scene(t=0.0)
     rays8, n = ray_pack()
     o_shared = jnp.zeros(3, jnp.float32)

@@ -163,12 +163,19 @@ def cmd_animate(args) -> None:
     # PNG encode, both pure host work) while the device renders frame n —
     # the headless analog of the reference's free-running redraw loop
     # overlapping its fps print with the GPU blit (main.rs:486-504).
+    # Elastic frame loop: a transient device fault (preemption, runtime
+    # blip) costs the frame's retries, not the animation — the same
+    # with_retry discipline the fit loop uses (utils/resilience.py).
+    from raytracing_tpu.utils.resilience import with_retry
+
     start = time.perf_counter()
     pending = None
     for frame in range(args.frames):
         t = time.perf_counter() - start
         sun = sun_position(t)
-        img = render_jit(scene.mesh, sun, jax.random.PRNGKey(frame))
+        img = with_retry(
+            lambda: render_jit(scene.mesh, sun, jax.random.PRNGKey(frame)),
+            probe=True)
         if pending is not None:
             present(*pending)
         pending = (frame, t, img)

@@ -30,8 +30,10 @@ class RenderConfig:
     width: int = 800
     height: int = 800
     scale: float = 1.0
-    # 2x2 stratified supersampling (`main.rs:321-365`). Must be a square
-    # number; sample s sits at sub-pixel offset derived from a sqrt(spp) grid.
+    # Stratified supersampling (`main.rs:321-365`). Any positive count:
+    # sample s sits at a cell center of the gx x gy stratification grid
+    # (ops/sampling.stratified_grid — 4 reproduces the reference's fixed
+    # 2x2 pattern; non-square counts stratify on a rectangular grid).
     samples_per_pixel: int = 4
     reflect_depth: int = 4
     diffuse_depth: int = 2

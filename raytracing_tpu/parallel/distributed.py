@@ -125,21 +125,22 @@ def render_distributed(
         ).astype(np.float32)
 
     rays = jax.make_array_from_callback((rp, 6), sharding, cb)
+    lights = getattr(scene, "lights", None)
 
-    def local(mesh_g, accel_g, gi_accel_g, sun, rays_l, key_):
+    def local(mesh_g, accel_g, gi_accel_g, lights_g, sun, rays_l, key_):
         key_l = jax.random.fold_in(key_, jax.lax.axis_index(RAY_AXIS))
         return render_rays(mesh_g, accel_g, sun, rays_l[:, 0:3],
                            rays_l[:, 3:6], key_l, config,
-                           gi_accel=gi_accel_g)
+                           lights=lights_g, gi_accel=gi_accel_g)
 
     fn = jax.jit(jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(RAY_AXIS), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(RAY_AXIS), P()),
         out_specs=P(RAY_AXIS),
         check_vma=False,
     ))
-    return fn(scene.mesh, accel, gi_accel, scene.sun, rays, key)
+    return fn(scene.mesh, accel, gi_accel, lights, scene.sun, rays, key)
 
 
 def save_local_shards(rgb: jax.Array, out_dir: str, tag: str = "shard"

@@ -54,13 +54,16 @@ def render_sharded(
     device_mesh: DeviceMesh,
     accel: Optional[ClusterAccel] = None,
     key: Optional[jax.Array] = None,
+    gi_accel: Optional[ClusterAccel] = None,
 ) -> jnp.ndarray:
     """Full-frame render with primary rays sharded across the mesh.
 
-    Geometry and accel are replicated (in_specs P()); each device renders
-    its ray shard with a device-unique RNG stream; the image is re-assembled
-    by the output sharding (no collective needed — rays are independent).
-    """
+    Geometry, accel(s), and lights are replicated (in_specs P()); each
+    device renders its ray shard with a device-unique RNG stream; the
+    image is re-assembled by the output sharding (no collective needed —
+    rays are independent). Carries the FULL frame capability: the scene's
+    area lights and an optional coarse gi_accel shard exactly like the
+    single-device render path."""
     if key is None:
         key = jax.random.PRNGKey(0)
     n_dev = device_mesh.devices.size
@@ -71,7 +74,8 @@ def render_sharded(
     d = _pad_to(d.reshape(r, 3), n_dev * config.chunk_size)
 
     fn = _sharded_render_fn(config, device_mesh)
-    rgb = fn(scene.mesh, accel, scene.sun, o, d, key)[:r]
+    lights = getattr(scene, "lights", None)
+    rgb = fn(scene.mesh, accel, gi_accel, lights, scene.sun, o, d, key)[:r]
     return rgb.reshape(spp, h, w, 3).mean(axis=0)
 
 
@@ -90,14 +94,15 @@ def _sharded_render_fn(config: RenderConfig, device_mesh: DeviceMesh):
     if fn is not None:
         return fn
 
-    def local(mesh: Mesh, accel_, sun, o_l, d_l, key_):
+    def local(mesh: Mesh, accel_, gi_accel_, lights_, sun, o_l, d_l, key_):
         key_l = jax.random.fold_in(key_, jax.lax.axis_index(RAY_AXIS))
         chunk = config.chunk_size
         nc = o_l.shape[0] // chunk
         keys = jax.random.split(key_l, nc)
         rgb = jax.lax.map(
             lambda args: render_rays(mesh, accel_, sun, args[0], args[1],
-                                     args[2], config),
+                                     args[2], config, lights=lights_,
+                                     gi_accel=gi_accel_),
             (o_l.reshape(nc, chunk, 3), d_l.reshape(nc, chunk, 3), keys),
         )
         return rgb.reshape(-1, 3)
@@ -109,7 +114,7 @@ def _sharded_render_fn(config: RenderConfig, device_mesh: DeviceMesh):
     fn = jax.jit(shard_map(
         local,
         mesh=device_mesh,
-        in_specs=(P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
         out_specs=P(RAY_AXIS),
         check_vma=False,
     ))
