@@ -47,8 +47,12 @@ class RenderConfig:
     eps: float = 1e-8
     # Primary rays per wavefront chunk. Each chunk expands by a factor of
     # (1 + diffuse_scatter) at the secondary levels, so the live ray count is
-    # chunk_size * 11 * levels; 16Ki keeps that well inside HBM.
-    chunk_size: int = 16384
+    # chunk_size * 11 * levels; 64Ki keeps that well inside HBM while
+    # cutting the frame's dispatch count 4x — per-chunk dispatch overhead
+    # on the tunneled runtime (~2-3 ms/chunk, see models/whitted.
+    # CHUNK_BURST) was most of the default-config frame floor at 16Ki
+    # (157 chunks for the reference 800x800x4spp frame vs 40).
+    chunk_size: int = 65536
     # Intersection backend: "bruteforce" (oracle), "cluster" (two-level
     # packet hierarchy, pure XLA), "pallas" (Pallas TPU megakernel).
     backend: str = "cluster"

@@ -1403,32 +1403,69 @@ def _lazy_t_bwd(res, g):
 _lazy_t.defvjp(_lazy_t_fwd, _lazy_t_bwd)
 
 
-@jax.custom_vjp
-def _lazy_shaded(verts, normals, colors, materials, o, d, rays8, tri_v,
-                 accel, hit, t_k, attrs_k):
-    """Forward = the kernel's (t, attrs) values, zero extra cost.
-    Backward = ONE grad-planes walk (grad_planes_soa) + elementwise
-    re-derivation + sorted segment reductions — no ray-count-sized
-    gathers or conflict-serialized scatters anywhere. Gradients reach
-    verts (via the re-derived Möller–Trumbore t), normals, colors,
-    materials, and the ray origins/directions; traversal decisions stay
-    detached (SURVEY.md §7)."""
-    return t_k, attrs_k
+def _objid_expand(accel, attrs_k, hit):
+    """objid-mode kernel planes (normal(3) | obj_id) -> the full 9-plane
+    rows via a select chain over the (static, small) object table —
+    elementwise ops, no gather. Miss lanes zeroed (obj_id plane 0 would
+    otherwise resolve them to object 0's row)."""
+    if accel.attr_tables is None:
+        return attrs_k
+    obj = attrs_k[3].astype(jnp.int32)  # [N]
+    tbl = accel.attr_tables  # [O, 6]
+    rest = jnp.zeros((6, obj.shape[0]), dtype=attrs_k.dtype)
+    for k in range(tbl.shape[0]):
+        rest = jnp.where(obj[None, :] == k, tbl[k][:, None], rest)
+    rest = jnp.where(hit[None, :], rest, 0.0)
+    return jnp.concatenate([attrs_k[:3], rest], axis=0)
 
 
-def _lazy_shaded_fwd(verts, normals, colors, materials, o, d, rays8, tri_v,
-                     accel, hit, t_k, attrs_k):
-    return (t_k, attrs_k), (o, d, rays8, tri_v, accel, hit,
-                            verts.shape[0], normals.shape[0],
-                            materials.shape[0])
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _shaded_walk(static, verts, normals, colors, materials, o, d, rays8,
+                 tri_v, accel, shared_origin):
+    """Differentiable (t, slot, attrs) from the cluster walk.
+
+    PRIMAL (renders nobody differentiates): one walk with the shading
+    planes only — zero extra cost. Under differentiation, the VJP's
+    forward runs the SAME walk with the 11 backward grad planes riding
+    alongside (attr_kind="both": v0|e1|e2|tri_id|obj_id accumulate in
+    the kernel next to the shade planes), so BACKWARD needs NO second
+    traversal at all — round 2's grad-planes re-walk becomes elementwise
+    re-derivation + sorted segment reductions over the saved planes.
+    Gradients reach verts (via the re-derived Möller–Trumbore t),
+    normals, colors, materials, and the ray origins/directions;
+    traversal decisions stay detached (SURVEY.md §7)."""
+    eps, variant, t_cap, early_exit, interpret, has_so = static
+    t_k, slot, attrs_k = nearest_hit_attrs_soa(
+        accel, rays8, eps, interpret, variant, t_cap=t_cap,
+        early_exit=early_exit,
+        shared_origin=shared_origin if has_so else None)
+    hit = jnp.isfinite(t_k)
+    return t_k, slot, _objid_expand(accel, attrs_k, hit).T
 
 
-def _lazy_shaded_bwd(res, cots):
+def _shaded_walk_fwd(static, verts, normals, colors, materials, o, d,
+                     rays8, tri_v, accel, shared_origin):
+    eps, variant, t_cap, early_exit, interpret, has_so = static
+    t_k, slot, both = nearest_hit_attrs_soa(
+        accel, rays8, eps, interpret, variant, t_cap=t_cap,
+        early_exit=early_exit,
+        shared_origin=shared_origin if has_so else None,
+        attr_kind="both")
+    a_rows = accel.attr_blocks.shape[1]
+    planes = both[a_rows:]          # [11, N] backward grad planes
+    hit = jnp.isfinite(t_k)
+    attrs_k = _objid_expand(accel, both[:a_rows], hit)
+    res = (o, d, hit, planes, tri_v, verts.shape[0], normals.shape[0],
+           materials.shape[0], jax.tree_util.tree_map(lambda _: None,
+                                                      accel))
+    return (t_k, slot, attrs_k.T), res
+
+
+def _shaded_walk_bwd(static, res, cots):
     from raytracing_tpu.ops.scatter import segment_scatter_add
 
-    g_t, g_a = cots  # [R], [R, A9]
-    o, d, rays8, tri_v, accel, hit, n_v, t_rows, n_obj = res
-    _, planes = grad_planes_soa(accel, rays8)
+    g_t, _g_slot, g_a = cots  # [N], (int cot ignored), [N, 9]
+    o, d, hit, planes, tri_v, n_v, t_rows, n_obj, none_accel = res
     v0 = planes[0:3].T
     e1p = planes[3:6].T
     e2p = planes[6:9].T
@@ -1459,12 +1496,11 @@ def _lazy_shaded_bwd(res, cots):
     objv = jnp.where(hit, obj, n_obj)
     dnc = segment_scatter_add(t_rows, idv, gm[:, 0:6])
     dm = segment_scatter_add(n_obj, objv, gm[:, 6:9])
-    none_accel = jax.tree_util.tree_map(lambda _: None, accel)
     return (dverts, dnc[:, 0:3], dnc[:, 3:6], dm, do, dd, None, None,
-            none_accel, None, None, None)
+            none_accel, None)
 
 
-_lazy_shaded.defvjp(_lazy_shaded_fwd, _lazy_shaded_bwd)
+_shaded_walk.defvjp(_shaded_walk_fwd, _shaded_walk_bwd)
 
 
 def grad_planes_soa(accel, rays8, eps=1e-8, interpret=None,
@@ -1496,6 +1532,16 @@ def grad_planes_soa(accel, rays8, eps=1e-8, interpret=None,
 def _attr_table(accel: ClusterAccel, variant: str, attr_kind: str):
     if attr_kind == "grad":
         return accel.grad_blocks
+    if attr_kind == "both":
+        # Shade planes followed by the backward grad planes — ONE walk
+        # serves both when the render is being differentiated (see
+        # _shaded_walk_fwd). Concat is trace-time XLA; [C, A+11, CS] is
+        # ~2 MB at teapot size.
+        if variant == "pmtt":
+            grad_t = jnp.transpose(accel.grad_blocks, (0, 2, 1))
+            return jnp.concatenate([accel.attr_t_blocks, grad_t], axis=2)
+        return jnp.concatenate([accel.attr_blocks, accel.grad_blocks],
+                               axis=1)
     return (accel.attr_t_blocks if variant == "pmtt"
             else accel.attr_blocks)
 
@@ -1774,7 +1820,13 @@ def _merge_rest_nearest_rows(accel, o_rows, d_rows, t, slot, attrs, eps,
     t = jnp.minimum(t, tmin)
     slot = jnp.where(better, s_total + jarg, slot)
     if n_attrs:
-        tbl = accel.rest_grad if attr_kind == "grad" else accel.rest_attrs
+        if attr_kind == "grad":
+            tbl = accel.rest_grad
+        elif attr_kind == "both":
+            tbl = jnp.concatenate([accel.rest_attrs, accel.rest_grad],
+                                  axis=1)
+        else:
+            tbl = accel.rest_attrs
         row = jnp.zeros((n_attrs, t.shape[1]), dtype=t.dtype)
         for j in range(rr):
             row = jnp.where(jarg == j, tbl[j][:, None], row)
@@ -1851,6 +1903,7 @@ def nearest_hit_attrs_soa(
     t_cap: float | None = None,
     early_exit: bool | None = None,
     shared_origin: jnp.ndarray | None = None,
+    attr_kind: str = "shade",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Nearest hit over the SoA ray pack, with the winning triangle's
     shading attributes accumulated IN the kernel (see _walk_kernel). Returns
@@ -1872,26 +1925,33 @@ def nearest_hit_attrs_soa(
     rays8 = jax.lax.stop_gradient(rays8)
     rp, r = _pad_rays_soa(rays8)
     n_attrs = accel.attr_blocks.shape[1]
+    if attr_kind == "both":
+        n_attrs += accel.grad_blocks.shape[1]
     if t_cap is None:
         t_k, slot, attrs = _walk_groups(accel, rp, eps, interpret, variant,
                                         nearest=True, t_max=float("inf"),
                                         n_attrs=n_attrs,
+                                        attr_kind=attr_kind,
                                         early_exit=early_exit,
                                         shared_origin=shared_origin)
         t_k, slot, attrs = _merge_rest_nearest(accel, rp, t_k, slot, attrs,
-                                               eps, n_attrs)
+                                               eps, n_attrs,
+                                               attr_kind=attr_kind)
         return t_k[0, :r], slot[0, :r], attrs[:, :r]
     t1, s1, a1 = _walk_groups(accel, rp, eps, interpret, variant,
                               nearest=True, t_max=float(t_cap),
-                              n_attrs=n_attrs, early_exit=early_exit,
+                              n_attrs=n_attrs, attr_kind=attr_kind,
+                              early_exit=early_exit,
                               shared_origin=shared_origin)
-    t1, s1, a1 = _merge_rest_nearest(accel, rp, t1, s1, a1, eps, n_attrs)
+    t1, s1, a1 = _merge_rest_nearest(accel, rp, t1, s1, a1, eps, n_attrs,
+                                     attr_kind=attr_kind)
     done = t1 < t_cap  # [1, rp]; rest hits beyond cap do NOT settle a ray
     alive2 = (rp[7:8, :] != 0.0) & ~done
     rp2 = jnp.concatenate([rp[:7], alive2.astype(rp.dtype)], axis=0)
     t2, s2, a2 = _walk_groups(accel, rp2, eps, interpret, variant,
                               nearest=True, t_max=float("inf"),
-                              n_attrs=n_attrs, early_exit=early_exit,
+                              n_attrs=n_attrs, attr_kind=attr_kind,
+                              early_exit=early_exit,
                               shared_origin=shared_origin)
     # Survivors may still be beaten by their (full-range) rest candidate
     # already merged into pass 1: keep the elementwise nearest of both.
@@ -2319,34 +2379,25 @@ def nearest_hit_shaded(
     CONTRACT DIFFERENCE vs nearest_hit_pallas: Hit.tri holds PACKED SLOT
     ids, not original triangle ids — resolving originals costs a serial
     per-ray gather (~19.5 ms / 2.56 M rays) that this path exists to avoid.
-    Both t and attrs are differentiable via lazy re-derivation backward
-    (_lazy_shaded: backward re-runs the walk with the grad planes and
-    routes cotangents by sorted segment reductions)."""
+    Both t and attrs are differentiable via the fused-walk VJP
+    (_shaded_walk: under differentiation, the forward walk carries the
+    11 backward grad planes alongside the shade planes, so backward is
+    pure elementwise re-derivation + sorted segment reductions with NO
+    second traversal)."""
+    if interpret is None:
+        interpret = not _on_tpu()
     sg = jax.lax.stop_gradient
     rays8 = rays_to_soa(sg(o), sg(d), alive=alive)
-    t_k, slot, attrs_k = nearest_hit_attrs_soa(accel, rays8, eps, interpret,
-                                               variant, t_cap=t_cap,
-                                               early_exit=early_exit,
-                                               shared_origin=shared_origin)
-    hit = jnp.isfinite(t_k)
+    static = (eps, variant, t_cap, early_exit, interpret,
+              shared_origin is not None)
+    so = (sg(shared_origin) if shared_origin is not None
+          else jnp.zeros(3, o.dtype))
+    t, slot, attrs = _shaded_walk(
+        static, mesh.verts, mesh.normals, mesh.colors, mesh.materials,
+        o, d, rays8, sg(mesh.tri_v), jax.tree_util.tree_map(sg, accel),
+        so)
+    hit = jnp.isfinite(sg(t))
     slot_safe = jnp.where(hit, slot, 0)
-    if accel.attr_tables is not None:
-        # objid mode: kernel planes are normal(3) | obj_id. Reconstruct
-        # color+material EXACTLY with a select chain over the (static,
-        # small) object count — elementwise ops, no gather. Miss lanes are
-        # zeroed afterwards to honor the "all 0 on miss" attrs contract
-        # (obj_id plane 0 would otherwise resolve them to object 0's row).
-        obj = attrs_k[3].astype(jnp.int32)  # [N]
-        tbl = accel.attr_tables  # [O, 6]
-        rest = jnp.zeros((6, obj.shape[0]), dtype=attrs_k.dtype)
-        for k in range(tbl.shape[0]):
-            rest = jnp.where(obj[None, :] == k, tbl[k][:, None], rest)
-        rest = jnp.where(hit[None, :], rest, 0.0)
-        attrs_k = jnp.concatenate([attrs_k[:3], rest], axis=0)
-    t, attrs = _lazy_shaded(
-        mesh.verts, mesh.normals, mesh.colors, mesh.materials, o, d,
-        rays8, sg(mesh.tri_v), jax.tree_util.tree_map(sg, accel), hit,
-        t_k, attrs_k.T)
     return Hit(t=t, tri=slot_safe, hit=hit), attrs
 
 

@@ -152,9 +152,10 @@ def test_grad_cluster_backend_matches_brute():
 
 
 def test_grad_pallas_backend_matches_brute():
-    """The pallas backend's hand-written _lazy_shaded backward (grad-planes
-    walk + sorted segment reductions) must reproduce the bruteforce
-    backend's gradients for every parameter table."""
+    """The pallas backend's hand-written _shaded_walk backward (fused
+    shade+grad-planes forward walk + sorted segment reductions, no second
+    traversal) must reproduce the bruteforce backend's gradients for every
+    parameter table."""
     scene = _tri_scene()
     o, d = _rays()
     accel = build_cluster_accel(scene.mesh, cluster_size=8)
