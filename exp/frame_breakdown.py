@@ -42,7 +42,7 @@ def main():
     cfg = RenderConfig(width=800, height=800, samples_per_pixel=4,
                        backend="pallas" if on_tpu else "cluster")
     mesh, sun = scene.mesh, scene.sun
-    chunk = 16384
+    chunk = 65536
     ids = block_ray_ids(5, chunk, cfg, 16, 16)
     o, d = camera_rays_for_ids(ids, cfg)
     s = cfg.diffuse_scatter
@@ -109,7 +109,7 @@ def main():
             jax.block_until_ready(out)
             best = min(best, (time.perf_counter() - t0) / iters)
         print(f"{name:16s} {best*1e3:8.3f} ms/chunk "
-              f"(x157 = {best*157:6.2f} s/frame)", flush=True)
+              f"(x40 = {best*40:6.2f} s/frame)", flush=True)
         return best
 
     bench("l1_trace", l1_trace)
