@@ -192,6 +192,35 @@ def bench_path_tracer(scene, accel, on_tpu):
           800 * 800 * 64 / dt, "paths/s")
 
 
+def bench_frame(scene, cfg, accel, iters=2):
+    """Full reference frame (800x800x4spp Whitted), default config and the
+    tuned fast path. Tuned = a 64-tri-cluster gi_accel for the incoherent
+    bounce levels (exp/frame_breakdown.py on-chip sweep: 64 beats both the
+    round-2 choice of 128 and the default accel's 16 — bounce tiles visit
+    most of the cluster list, so bigger clusters amortize the per-visit
+    fixed cost, but 128 overshoots into wasted intersections)."""
+
+    def time_frame(c, **kw):
+        img = jax.block_until_ready(render(scene, c, accel=accel, **kw))
+        best = float("inf")
+        for k in range(iters):
+            t0 = time.perf_counter()
+            img = jax.block_until_ready(
+                render(scene, c, accel=accel,
+                       key=jax.random.PRNGKey(k + 1), **kw))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = time_frame(cfg)
+    _emit("whitted_frame_seconds", dt, "s")
+    _emit("whitted_fps", 1.0 / dt, "fps")
+    gi_acc = build_cluster_accel(scene.mesh, cluster_size=64,
+                                 variants=("pmt",))
+    dt_t = time_frame(cfg, gi_accel=gi_acc)
+    _emit("whitted_frame_seconds_tuned", dt_t, "s")
+    _emit("whitted_fps_tuned", 1.0 / dt_t, "fps")
+
+
 def bench_scaling(scene, cfg):
     """Per-device throughput at 1 vs N devices (render_sharded). On TPU
     the sharded render runs the pallas backend — the same kernels the
@@ -281,7 +310,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-frame", action="store_true")
     ap.add_argument("--skip-large", action="store_true")
-    ap.add_argument("--out", default="BENCH_SUITE_r02.json")
+    ap.add_argument("--only-frame", action="store_true",
+                    help="measure just the whitted frame records (section "
+                         "3) — for refreshing those records in an existing "
+                         "artifact without repaying the whole suite")
+    ap.add_argument("--out", default="BENCH_SUITE_r03.json")
     args = ap.parse_args()
     global OUT_PATH
     OUT_PATH = args.out
@@ -303,6 +336,13 @@ def main():
                        backend="pallas" if on_tpu else "cluster")
     accel = build_cluster_accel(scene.mesh, cluster_size=16)
 
+    if args.only_frame:
+        bench_frame(scene, cfg, accel)
+        with open(args.out, "w") as f:
+            json.dump(RECORDS, f, indent=1)
+        print(f"# wrote {args.out} ({len(RECORDS)} records)", flush=True)
+        return
+
     # 1. headline primary rays/s (delegate to bench.py's logic)
     import bench
     bench.main()
@@ -314,29 +354,11 @@ def main():
     _emit("backward_262k_rays", tb * 1e3, "ms")
 
     # 3. full reference frame — default config, then the tuned fast path
-    # (coarse gi_accel for bounce levels + origin-folded primaries +
-    # larger chunks; all public RenderConfig/render knobs, same image
-    # modulo one-ulp intersector association differences).
+    # (coarse gi_accel for bounce levels; all public RenderConfig/render
+    # knobs, same image modulo one-ulp intersector association
+    # differences).
     if not args.skip_frame:
-        img = jax.block_until_ready(render(scene, cfg, accel=accel))
-        t0 = time.perf_counter()
-        img = jax.block_until_ready(
-            render(scene, cfg, accel=accel, key=jax.random.PRNGKey(1)))
-        dt = time.perf_counter() - t0
-        _emit("whitted_frame_seconds", dt, "s")
-        _emit("whitted_fps", 1.0 / dt, "fps")
-        gi_acc = build_cluster_accel(scene.mesh, cluster_size=128,
-                                     variants=("pmt",))
-        cfg_t = cfg.replace(chunk_size=65536, primary_shared_origin=True)
-        img = jax.block_until_ready(
-            render(scene, cfg_t, accel=accel, gi_accel=gi_acc))
-        t0 = time.perf_counter()
-        img = jax.block_until_ready(
-            render(scene, cfg_t, accel=accel, gi_accel=gi_acc,
-                   key=jax.random.PRNGKey(1)))
-        dt_t = time.perf_counter() - t0
-        _emit("whitted_frame_seconds_tuned", dt_t, "s")
-        _emit("whitted_fps_tuned", 1.0 / dt_t, "fps")
+        bench_frame(scene, cfg, accel)
         bench_path_tracer(scene, accel, on_tpu)
 
     # 4. accel build time — the analog of the reference's criterion
