@@ -89,7 +89,31 @@ def main():
     def l2_shade(key):
         _, (h, sh, h2, attrs2, o2s, d2s) = l2_spawn_trace(key)
         sh2 = shade(mesh, gi_accel, sun, o2s, d2s, h2, cfg, attrs=attrs2)
-        return sh2.direct[:, 0], None
+        return sh2.direct[:, 0], (h2, sh2, o2s, d2s)
+
+    def reflect_level(key, h_p, sh_p, o_p, d_p, tag):
+        """One pure-reflect level (the L3/L4 shape): spawn reflect
+        children of the parent, bin, trace, shade."""
+        o_c = sh_p.pos
+        d_c = reflect(d_p, sh_p.n)
+        a_c = h_p.hit & (sh_p.refl > 0.0)
+        lo_, hi_ = scene_bounds(gi_accel)
+        k = bounce_bin_key(o_c, d_c, lo_, hi_, a_c)
+        sidx, (o_s, d_s, a_s) = bin_sort(k, o_c, d_c, a_c)
+        h_c, attrs_c = nearest_hit_shaded(mesh, gi_accel, o_s, d_s, cfg,
+                                          alive=a_s, early_exit=True)
+        sh_c = shade(mesh, gi_accel, sun, o_s, d_s, h_c, cfg, attrs=attrs_c)
+        return h_c, sh_c, o_s, d_s
+
+    def l3(key):
+        _, (h2, sh2, o2s, d2s) = l2_shade(key)
+        h3, sh3, o3, d3 = reflect_level(key, h2, sh2, o2s, d2s, "l3")
+        return sh3.direct[:, 0], (h3, sh3, o3, d3)
+
+    def l4(key):
+        _, (h3, sh3, o3, d3) = l3(key)
+        h4, sh4, o4, d4 = reflect_level(key, h3, sh3, o3, d3, "l4")
+        return sh4.direct[:, 0], None
 
     def full(key):
         rgb = render_rays(mesh, accel, sun, o, d, key, cfg,
@@ -116,6 +140,8 @@ def main():
     bench("l1_shade", l1_shade)
     bench("l2_spawn_trace", l2_spawn_trace)
     bench("l2_shade", l2_shade)
+    bench("l3_reflect", l3)
+    bench("l4_reflect", l4)
     bench("full", full)
 
 
