@@ -198,7 +198,12 @@ def bench_frame(scene, cfg, accel, iters=2):
     bounce levels (exp/frame_breakdown.py on-chip sweep: 64 beats both the
     round-2 choice of 128 and the default accel's 16 — bounce tiles visit
     most of the cluster list, so bigger clusters amortize the per-visit
-    fixed cost, but 128 overshoots into wasted intersections)."""
+    fixed cost, but 128 overshoots into wasted intersections) +
+    bin_shadow=False (with the coarse gi accel, shadow tiles visit most
+    of its short cluster list regardless, so the re-sort's 2 payload
+    sorts/level are pure cost: 2.31 -> 2.23 s measured; WITHOUT a
+    gi_accel the re-sort still wins, hence only the tuned config flips
+    it)."""
 
     def time_frame(c, **kw):
         img = jax.block_until_ready(render(scene, c, accel=accel, **kw))
@@ -216,7 +221,7 @@ def bench_frame(scene, cfg, accel, iters=2):
     _emit("whitted_fps", 1.0 / dt, "fps")
     gi_acc = build_cluster_accel(scene.mesh, cluster_size=64,
                                  variants=("pmt",))
-    dt_t = time_frame(cfg, gi_accel=gi_acc)
+    dt_t = time_frame(cfg.replace(bin_shadow=False), gi_accel=gi_acc)
     _emit("whitted_frame_seconds_tuned", dt_t, "s")
     _emit("whitted_fps_tuned", 1.0 / dt_t, "fps")
 
