@@ -67,8 +67,21 @@ class RenderConfig:
     # Additionally re-sort each level's SHADOW rays by hit position: GI
     # hit points scatter across the scene, so the level's bounce-sorted
     # order leaves shadow tiles with ballooned frustums. Pays one extra
-    # payload sort + unsort per level (pallas backend only).
-    bin_shadow: bool = True
+    # payload sort + unsort per level (pallas backend only). "auto" =
+    # re-bin only when the frame has NO coarse gi_accel: with one, shadow
+    # tiles visit most of its short cluster list sorted or not, so the
+    # re-bin's two payload sorts are pure cost (measured 2.31 -> 2.23 s
+    # on the reference frame, v5e). True/False force it either way.
+    bin_shadow: object = "auto"
+    # Cluster size of the AUTO-BUILT coarse second accel for the
+    # incoherent bounce (depth>1) levels — see whitted.render. Bounce
+    # tiles walk most of the scene's visit list, so per-visit fixed cost
+    # dominates and bigger clusters amortize it (frame 2.62 -> 2.27 s
+    # measured, v5e). Results are exact either way (same triangles; only
+    # the walk partition changes). 0 disables the auto build; it is also
+    # skipped when the primary accel is already at least this coarse, or
+    # when an explicit gi_accel is passed. Pallas backend only.
+    gi_cluster_size: int = 64
     # Visibility samples per spherical area light per shading point (only
     # used when the scene carries lights; see models/whitted.
     # area_light_term). More samples -> smoother penumbras.

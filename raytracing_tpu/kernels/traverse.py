@@ -77,6 +77,12 @@ from raytracing_tpu.ops.trace import Hit
 
 RAY_TILE = 1024  # rays per culling tile: 16x16 pixels x 4 spp in block order
 SUBTILES = 8  # culling tiles per grid step (amortizes per-step cost)
+# NOTE: every tuning global in this block (RAY_TILE, SUBTILES,
+# VISIT_UNROLL, IDS_MODE, STREAM_GROUPS, _EARLY_EXIT_MIN_CLUSTERS,
+# EARLY_EXIT_BATCH) is captured at TRACE time: mutating one does not
+# invalidate functions a caller has already jitted — only freshly traced
+# closures observe the new value (the exp/ sweeps re-jit per setting for
+# exactly this reason). Treat them as build-time constants in library code.
 
 # Visit lists wider than this are truncated by the top_k compaction to keep
 # the SMEM footprint — and therefore the launch count — independent of C.

@@ -84,6 +84,7 @@ def shade(
     hit: Hit,
     config: RenderConfig,
     attrs: Optional[jnp.ndarray] = None,
+    bin_shadow: Optional[bool] = None,
 ) -> Shaded:
     """Direct lighting at hit points, incl. the shadow (any-hit) query —
     the reference's main.rs:176-241 in batch form.
@@ -128,8 +129,10 @@ def shade(
     # overflow to full cluster scans. Only pos+alive ride the sort;
     # sun_dir is re-derived from the sorted positions.
     sh_alive = hit.hit & facing
+    if bin_shadow is None:  # lone callers: "auto" (no gi_accel) -> re-bin
+        bin_shadow = config.bin_shadow in (True, "auto")
     if (config.backend == "pallas" and accel is not None
-            and config.bin_shadow):
+            and bin_shadow):
         lo, hi = scene_bounds(accel)
         k = bin_key(pos, sun_dir, lo, hi, sh_alive)
         sidx, (pos_s, alive_s) = bin_sort(k, pos, sh_alive)
@@ -233,6 +236,8 @@ def render_rays(
     max_depth = max(config.reflect_depth, config.diffuse_depth)
     s = config.diffuse_scatter
     sky = jnp.asarray(config.sky_color, dtype=o.dtype)
+    bin_sh = (config.bin_shadow if isinstance(config.bin_shadow, bool)
+              else gi_accel is None)  # "auto" (see RenderConfig)
 
     # ---- forward sweep: trace + shade each level, spawn children --------
     # Sort discipline: bounce level l is re-binned ONCE by (origin cell,
@@ -280,7 +285,8 @@ def render_rays(
             # Primaries share the pinhole origin; bounce levels don't.
             shared_origin=(o_l[0] if depth == 1
                            and config.primary_shared_origin else None))
-        sh = shade(mesh, acc_l, sun, o_l, d_l, h, config, attrs=attrs)
+        sh = shade(mesh, acc_l, sun, o_l, d_l, h, config, attrs=attrs,
+                   bin_shadow=bin_sh)
         direct = sh.direct
         if lights is not None:
             kl = jax.random.fold_in(key, 7777 + depth)
@@ -413,6 +419,8 @@ def render(
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if gi_accel is None:
+        gi_accel = _auto_gi_accel(scene.mesh, accel, config)
     spp, h, w = config.samples_per_pixel, config.height, config.width
     r = spp * h * w
     # Pixel-block ray order: the traversal kernel culls per tile of
