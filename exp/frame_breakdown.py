@@ -42,8 +42,10 @@ def main():
     cfg = RenderConfig(width=800, height=800, samples_per_pixel=4,
                        backend="pallas" if on_tpu else "cluster")
     mesh, sun = scene.mesh, scene.sun
+    import sys
+    ci = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     chunk = 65536
-    ids = block_ray_ids(5, chunk, cfg, 16, 16)
+    ids = block_ray_ids(ci, chunk, cfg, 16, 16)
     o, d = camera_rays_for_ids(ids, cfg)
     s = cfg.diffuse_scatter
 

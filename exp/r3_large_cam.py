@@ -52,19 +52,21 @@ def main():
             accel = build_cluster_accel(mesh, cluster_size=cs,
                                         variants=("pmt",))
             jax.block_until_ready(accel.cluster_min)
+            for bh in (16, 8):
+                @jax.jit
+                def step(state, offs, bh=bh):
+                    of = offs + state * 1e-12
+                    t, _ = tv.nearest_hit_camera_soa(accel, of, width=W,
+                                                     height=H, spp=SPP,
+                                                     bh=bh, bw=bh)
+                    hit = jnp.isfinite(t)
+                    return (jnp.sum(t, where=hit) * 1e-20 +
+                            jnp.sum(hit).astype(jnp.float32) * 0.0,)
 
-            @jax.jit
-            def step(state, offs):
-                of = offs + state * 1e-12
-                t, _ = tv.nearest_hit_camera_soa(accel, of, width=W,
-                                                 height=H, spp=SPP)
-                hit = jnp.isfinite(t)
-                return (jnp.sum(t, where=hit) * 1e-20 +
-                        jnp.sum(hit).astype(jnp.float32) * 0.0,)
-
-            dt = chain(step)
-            print(f"cs={cs} camera: {(dt-dt_null)*1e3:.2f} ms -> "
-                  f"{n/max(dt-dt_null,1e-9)/1e6:.1f} Mrays/s", flush=True)
+                dt = chain(step)
+                print(f"cs={cs} bh={bh} camera: {(dt-dt_null)*1e3:.2f} ms"
+                      f" -> {n/max(dt-dt_null,1e-9)/1e6:.1f} Mrays/s",
+                      flush=True)
             del accel
         except Exception as e:
             print(f"cs={cs}: {type(e).__name__}: {e}", flush=True)

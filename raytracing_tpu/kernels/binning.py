@@ -133,8 +133,20 @@ def bin_key(o, d, lo, hi, alive=None, pos_bits: int = POS_BITS,
 
 
 def bounce_bin_key(o, d, lo, hi, alive=None) -> jnp.ndarray:
-    """The GI-regime key: coarse 8^3 position cells x 128 cones."""
-    return bin_key(o, d, lo, hi, alive, pos_bits=3, dir_ratio_bits=2)
+    """The GI-regime key: 128 fine cones MAJOR x 8^3 position cells minor.
+
+    Direction-major, unlike `bin_key`: with tight batch-origin bounds
+    (batch_bounds) the position cells are small, and a position-major key
+    makes every fixed-size ray tile span MANY cone groups — its frustum's
+    direction interval becomes the union (most of the hemisphere), which
+    is exactly what binning exists to prevent. Cone-major keeps each tile
+    inside one cone (a cone group is thousands of rays), with the Morton
+    cell ordering origins within it."""
+    db = fine_direction_bin(d, 2)  # 128 cones
+    key = (db << (3 * 3)) | morton3(o, lo, hi, bits=3)
+    if alive is not None:
+        key = jnp.where(alive, key, jnp.int32(1) << 30)
+    return key
 
 
 @jax.custom_vjp
@@ -212,3 +224,25 @@ def unsort(sidx: jnp.ndarray, *payloads):
 def scene_bounds(accel) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Quantization box from the accel's cluster AABBs."""
     return accel.cluster_min.min(axis=0), accel.cluster_max.max(axis=0)
+
+
+def batch_bounds(o: jnp.ndarray, alive: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantization box from the BATCH's own (alive) ray origins — the
+    right box for bounce/shadow binning. `scene_bounds` spans every
+    object incl. outliers (the reference scene's ±10,000 ground plane,
+    main.rs:430-447), so at pos_bits=3 a cell is ~2,500 units and every
+    visible-region bounce origin lands in ONE cell: position binning
+    degenerates to direction-only and tiles mix origins from the whole
+    view. The live origins of one wavefront span only the visible
+    surface region (~tens of units here), so quantizing over them makes
+    cells surface-patch sized. Dead lanes (garbage o) are excluded; an
+    all-dead batch collapses to a point box (constant keys — harmless)."""
+    if alive is None:
+        return o.min(axis=0), o.max(axis=0)
+    big = jnp.float32(3e38)
+    m = alive[:, None]
+    lo = jnp.where(m, o, big).min(axis=0)
+    hi = jnp.where(m, o, -big).max(axis=0)
+    ok = lo[0] <= hi[0]
+    return jnp.where(ok, lo, 0.0), jnp.where(ok, hi, 0.0)

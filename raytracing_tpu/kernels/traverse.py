@@ -2176,9 +2176,15 @@ def nearest_hit_camera_soa(
         n_tiles, offs, width, height, spp, scale, aspect, bh, bw)
     g = _supertile_group(c_total)
     nby, nbx = height // bh, width // bw
-    if g > 1:
-        # 2-D pooling: a supertile is a 2x2 BLOCK NEIGHBORHOOD (32x32
-        # pixels), never a raster-order run — consecutive blocks wrap
+    # Pooling group: a supertile is a gy x gx BLOCK NEIGHBORHOOD covering
+    # a constant ~32x32-pixel footprint, so phase 1's pooled row count —
+    # and therefore its dense [nst, C] interval cost — is independent of
+    # the ray-tile size (smaller bh/bw tiles tighten the WALK's frustums
+    # without inflating the culling pass).
+    gy = max(1, 32 // bh)
+    gx = max(1, 32 // bw)
+    if g > 1 and gy * gx > 1:
+        # 2-D pooling: never a raster-order run — consecutive blocks wrap
         # across screen rows, and one wrapping group's frustum spans the
         # whole screen (measured: 4% of tiles overflowing to full-scene
         # scans at 404k tris). Camera mode knows the block grid, so it
@@ -2191,19 +2197,20 @@ def nearest_hit_camera_soa(
         # ~3% of supertiles degenerating to full scans). The zero
         # crossing sits at pixel W/2 (resp. H/2); phase-shift the group
         # grid so it falls on a group boundary.
-        px = (width // 2 // bw) % 2
-        py = (height // 2 // bh) % 2
-        nby2 = (py + nby + 1) // 2
-        nbx2 = (px + nbx + 1) // 2
+        px = (width // 2 // bw) % gx
+        py = (height // 2 // bh) % gy
+        nby2 = (py + nby + gy - 1) // gy
+        nbx2 = (px + nbx + gx - 1) // gx
+        m = gy * gx
         big = jnp.float32(3e38)
 
         def pool2d(a, inverted):
             fill = -big if inverted else big
             a = a.reshape(nby, nbx, 3)
-            a = jnp.pad(a, ((py, 2 * nby2 - nby - py),
-                            (px, 2 * nbx2 - nbx - px), (0, 0)),
+            a = jnp.pad(a, ((py, gy * nby2 - nby - py),
+                            (px, gx * nbx2 - nbx - px), (0, 0)),
                         constant_values=fill)
-            a = a.reshape(nby2, 2, nbx2, 2, 3)
+            a = a.reshape(nby2, gy, nbx2, gx, 3)
             return (a.max((1, 3)) if inverted else a.min((1, 3))
                     ).reshape(nby2 * nbx2, 3)
 
@@ -2227,19 +2234,19 @@ def nearest_hit_camera_soa(
         cx = jnp.take(accel.cluster_max, ids_p.reshape(-1),
                       axis=0).reshape(nst, wp, 3)
 
-        def grp4(a):
-            # [nt, 3] tile rows -> [nst, 4, 3] group-member layout.
+        def grp(a):
+            # [nt, 3] tile rows -> [nst, m, 3] group-member layout.
             # Pad value is irrelevant: padded member tiles are sliced
             # away by ungrp before anything reads them.
             a = a.reshape(nby, nbx, 3)
-            a = jnp.pad(a, ((py, 2 * nby2 - nby - py),
-                            (px, 2 * nbx2 - nbx - px), (0, 0)),
+            a = jnp.pad(a, ((py, gy * nby2 - nby - py),
+                            (px, gx * nbx2 - nbx - px), (0, 0)),
                         constant_values=0.0)
-            a = a.reshape(nby2, 2, nbx2, 2, 3).transpose(0, 2, 1, 3, 4)
-            return a.reshape(nst, 4, 3)
+            a = a.reshape(nby2, gy, nbx2, gx, 3).transpose(0, 2, 1, 3, 4)
+            return a.reshape(nst, m, 3)
 
-        ol4, oh4 = grp4(o_lo), grp4(o_hi)
-        dl4, dh4 = grp4(d_lo), grp4(d_hi)
+        ol4, oh4 = grp(o_lo), grp(o_hi)
+        dl4, dh4 = grp(d_lo), grp(d_hi)
         t_near_lb = None
         t_far_ub = None
         for k in range(3):
@@ -2293,9 +2300,9 @@ def nearest_hit_camera_soa(
         cnt2 = jnp.where((cnt_p > wp)[:, None], jnp.int32(_BIG_ID), cnt2)
 
         def ungrp(a, w_):
-            # [nst, 4, w] -> [nt, w] inverse of grp4
-            a = a.reshape(nby2, nbx2, 2, 2, w_).transpose(0, 2, 1, 3, 4)
-            a = a.reshape(2 * nby2, 2 * nbx2, w_)
+            # [nst, m, w] -> [nt, w] inverse of grp
+            a = a.reshape(nby2, nbx2, gy, gx, w_).transpose(0, 2, 1, 3, 4)
+            a = a.reshape(gy * nby2, gx * nbx2, w_)
             return a[py:py + nby, px:px + nbx].reshape(n_tiles, w_)
 
         ids = ungrp(ids2, wp)

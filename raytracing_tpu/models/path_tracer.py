@@ -65,9 +65,9 @@ def trace_paths(
     gi_accel: optional coarser accel for bounce>0 segments (see
     whitted.render_rays) — identical estimator, faster incoherent walks."""
     from raytracing_tpu.kernels.binning import (
+        batch_bounds,
         bin_sort,
         bounce_bin_key,
-        scene_bounds,
     )
 
     r = o.shape[0]
@@ -85,7 +85,10 @@ def trace_paths(
             # Re-bin the whole per-path state by (coarse origin cell, fine
             # direction cone) — same GI regime as the Whitted bounce
             # levels; the orig column restores pixel order at the end.
-            lo_, hi_ = scene_bounds(accel)
+            # Batch-origin bounds, not scene bounds — see whitted.py and
+            # binning.batch_bounds (outlier geometry otherwise collapses
+            # position binning to one cell).
+            lo_, hi_ = batch_bounds(o, alive)
             kb_ = bounce_bin_key(o, d, lo_, hi_, alive)
             _, (o, d, alive, throughput, radiance, orig) = bin_sort(
                 kb_, o, d, alive, throughput, radiance, orig)

@@ -44,6 +44,7 @@ from raytracing_tpu.ops.intersect import reflect, triangle_normal
 from raytracing_tpu.ops.linalg import dot, normalize
 from raytracing_tpu.ops.sampling import cosine_hemisphere
 from raytracing_tpu.kernels.binning import (
+    batch_bounds,
     bin_key,
     bin_sort,
     bounce_bin_key,
@@ -133,7 +134,7 @@ def shade(
         bin_shadow = config.bin_shadow in (True, "auto")
     if (config.backend == "pallas" and accel is not None
             and bin_shadow):
-        lo, hi = scene_bounds(accel)
+        lo, hi = batch_bounds(pos, sh_alive)
         k = bin_key(pos, sun_dir, lo, hi, sh_alive)
         sidx, (pos_s, alive_s) = bin_sort(k, pos, sh_alive)
         dir_s = normalize(sun - pos_s, eps=1e-20)
@@ -274,7 +275,11 @@ def render_rays(
         acc_l = gi_accel if (depth > 1 and gi_accel is not None) else accel
         if (depth > 1 and config.backend == "pallas" and accel is not None
                 and config.bin_secondary):
-            lo_, hi_ = scene_bounds(acc_l)
+            # Quantize over the batch's own live origins, not the scene
+            # box: with the ±10,000 ground plane in scene_bounds every
+            # visible bounce origin shares one 2,500-unit Morton cell and
+            # position binning does nothing (see binning.batch_bounds).
+            lo_, hi_ = batch_bounds(o_l, alive_l)
             k = bounce_bin_key(o_l, d_l, lo_, hi_, alive_l)
             sidx, (o_l, d_l, alive_l) = bin_sort(k, o_l, d_l, alive_l)
         h, attrs = nearest_hit_shaded(
@@ -399,6 +404,38 @@ def _dispatch_chunks(body, keys, nc, chunk, width=3):
         del burst
         jax.block_until_ready(acc)
     return acc
+
+
+# Auto-built coarse bounce accels, keyed on (mesh id, cluster size). The
+# build is host-side (~50 ms at teapot size) and must not recur per frame;
+# entries keep a mesh ref so a freed mesh's id can't be recycled.
+_GI_ACCEL_CACHE: dict = {}
+_GI_ACCEL_CACHE_MAX = 8
+
+
+def _auto_gi_accel(mesh: Mesh, accel: Optional[ClusterAccel],
+                   config: RenderConfig) -> Optional[ClusterAccel]:
+    """Coarse second accel for the incoherent bounce levels (see
+    config.gi_cluster_size): bounce tiles walk most of the visit list, so
+    bigger clusters amortize the per-visit fixed cost. Built once per
+    (mesh, size) and cached; skipped when disabled (size 0), when the
+    backend doesn't use it, or when the primary accel is already at least
+    that coarse (the build would duplicate it)."""
+    cs = config.gi_cluster_size
+    if (cs <= 0 or accel is None or config.backend != "pallas"
+            or accel.cluster_size >= cs):
+        return None
+    ck = (id(mesh), cs)
+    hit = _GI_ACCEL_CACHE.get(ck)
+    if hit is not None:
+        return hit[0]
+    from raytracing_tpu.accel.packets import build_cluster_accel
+
+    if len(_GI_ACCEL_CACHE) >= _GI_ACCEL_CACHE_MAX:
+        _GI_ACCEL_CACHE.clear()
+    gi = build_cluster_accel(mesh, cluster_size=cs, variants=("pmt",))
+    _GI_ACCEL_CACHE[ck] = (gi, mesh)
+    return gi
 
 
 def render(

@@ -362,3 +362,13 @@ def test_camera_mode_refined_pooling_exact(monkeypatch):
                                       spp=spp, interpret=True)
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    # Smaller ray tiles (bh=bw=8): the pooling group widens to 4x4 blocks
+    # (constant 32x32-pixel supertile footprint) — results must still be
+    # exactly the unpooled per-tile walk's.
+    t2, s2 = T.nearest_hit_camera_soa(accel, offs, width=w, height=h,
+                                      spp=spp, interpret=True, bh=8, bw=8)
+    monkeypatch.setattr(T, "_SUPERTILE_MIN_C", 10 ** 9)  # pooling OFF
+    t3, s3 = T.nearest_hit_camera_soa(accel, offs, width=w, height=h,
+                                      spp=spp, interpret=True, bh=8, bw=8)
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(t3))
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(s3))
