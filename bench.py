@@ -60,7 +60,10 @@ def _backend_with_retry(deadline_s: float = 600.0,
             time.sleep(60.0)
 
 
-def main() -> None:
+def measure() -> dict:
+    """Run the headline measurement and RETURN the record (callers like
+    bench_suite.py must emit it into their committed artifact — a printed
+    line alone is uncommitted prose)."""
     on_tpu = _backend_with_retry() == "tpu"
     w, h, spp = 800, 800, 4
     measured = w * h * spp
@@ -113,16 +116,16 @@ def main() -> None:
     dt_null, _ = chain(null, iters)
     rays_per_s = measured / max(dt - dt_null, 1e-9)
 
-    print(
-        json.dumps(
-            {
-                "metric": "primary_rays_per_s_per_chip_teapot",
-                "value": rays_per_s,
-                "unit": "rays/s",
-                "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
-            }
-        )
-    )
+    return {
+        "metric": "primary_rays_per_s_per_chip_teapot",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
+    }
+
+
+def main() -> None:
+    print(json.dumps(measure()))
 
 
 if __name__ == "__main__":

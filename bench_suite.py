@@ -319,7 +319,7 @@ def main():
                     help="measure just the whitted frame records (section "
                          "3) — for refreshing those records in an existing "
                          "artifact without repaying the whole suite")
-    ap.add_argument("--out", default="BENCH_SUITE_r03.json")
+    ap.add_argument("--out", default="BENCH_SUITE_r04.json")
     args = ap.parse_args()
     global OUT_PATH
     OUT_PATH = args.out
@@ -348,9 +348,13 @@ def main():
         print(f"# wrote {args.out} ({len(RECORDS)} records)", flush=True)
         return
 
-    # 1. headline primary rays/s (delegate to bench.py's logic)
+    # 1. headline primary rays/s (bench.py's measurement, EMITTED into
+    # the artifact — round 3 only printed it, leaving README's headline
+    # claim without a committed record behind it).
     import bench
-    bench.main()
+    rec = bench.measure()
+    _emit(rec["metric"], rec["value"], rec["unit"],
+          baseline=bench.BASELINE_RAYS_PER_S)
 
     # 2. backward/forward ratio
     ratio, tf, tb = bench_backward_over_forward(scene, accel, cfg)

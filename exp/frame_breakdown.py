@@ -25,7 +25,7 @@ from raytracing_tpu.accel.packets import build_cluster_accel
 from raytracing_tpu.config import RenderConfig
 from raytracing_tpu.geometry.scene import build_default_scene
 from raytracing_tpu.kernels.binning import (
-    bin_sort, bounce_bin_key, scene_bounds)
+    bin_sort, bounce_bin_key, batch_bounds)
 from raytracing_tpu.models.camera import block_ray_ids, camera_rays_for_ids
 from raytracing_tpu.models.whitted import render_rays, shade
 from raytracing_tpu.ops.intersect import reflect
@@ -81,7 +81,9 @@ def main():
     def l2_spawn_trace(key):
         _, (h, sh) = l1_shade(key)
         o2, d2, a2 = spawn(key, h, sh, d)
-        lo_, hi_ = scene_bounds(gi_accel)
+        # batch_bounds, not scene_bounds: production (whitted.render_rays)
+        # quantizes bounce bin keys over the batch's own live origins.
+        lo_, hi_ = batch_bounds(o2, a2)
         k = bounce_bin_key(o2, d2, lo_, hi_, a2)
         sidx, (o2s, d2s, a2s) = bin_sort(k, o2, d2, a2)
         h2, attrs2 = nearest_hit_shaded(mesh, gi_accel, o2s, d2s, cfg,
@@ -99,7 +101,7 @@ def main():
         o_c = sh_p.pos
         d_c = reflect(d_p, sh_p.n)
         a_c = h_p.hit & (sh_p.refl > 0.0)
-        lo_, hi_ = scene_bounds(gi_accel)
+        lo_, hi_ = batch_bounds(o_c, a_c)
         k = bounce_bin_key(o_c, d_c, lo_, hi_, a_c)
         sidx, (o_s, d_s, a_s) = bin_sort(k, o_c, d_c, a_c)
         h_c, attrs_c = nearest_hit_shaded(mesh, gi_accel, o_s, d_s, cfg,

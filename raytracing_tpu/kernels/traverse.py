@@ -2196,9 +2196,13 @@ def nearest_hit_camera_soa(
         # screen-center axis flags essentially the whole scene (measured
         # ~3% of supertiles degenerating to full scans). The zero
         # crossing sits at pixel W/2 (resp. H/2); phase-shift the group
-        # grid so it falls on a group boundary.
-        px = (width // 2 // bw) % gx
-        py = (height // 2 // bh) % gy
+        # grid so it falls on a group boundary: with px pad blocks on the
+        # left, block b starts group (b + px) // gx, so the center block
+        # cb = W/2 // bw sits on a boundary iff px = (-cb) mod gx. (The
+        # former `cb % gx` only worked when gx | 2*cb — always at gx=2,
+        # not for gx=4 with an odd center block index.)
+        px = (-(width // 2 // bw)) % gx
+        py = (-(height // 2 // bh)) % gy
         nby2 = (py + nby + gy - 1) // gy
         nbx2 = (px + nbx + gx - 1) // gx
         m = gy * gx
@@ -2222,7 +2226,7 @@ def nearest_hit_camera_soa(
         # REFINE: the pooled (32x32-pixel) frustum lists average ~2.3x
         # the exact per-tile length at 1.6M tris — walk inflation that
         # costs more than the pooled top_k saves. One small gather of
-        # the CANDIDATE clusters' AABBs per supertile (shared by its 4
+        # the CANDIDATE clusters' AABBs per supertile (shared by its m
         # member tiles) + a per-tile interval re-test + a narrow top_k
         # recovers EXACT per-tile lists, entry-t ordered by the tile's
         # own frustum. Correctness: per-tile pass => pooled pass => in

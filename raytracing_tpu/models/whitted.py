@@ -373,8 +373,13 @@ def _fold(acc, lo, *chunks):
 # arrays (captured constants — the fast-path argument pattern, see
 # CHUNK_BURST) so it cannot be a plain top-level jit; re-jitting a fresh
 # closure every render() call would recompile ~20-30 s per frame. Keyed on
-# the identity of the scene/accel buffers + the static config.
-_BODY_CACHE: dict = {}
+# the identity of the scene/accel buffers + the static config. LRU: an
+# animate loop alternating more than _BODY_CACHE_MAX configs evicts the
+# stalest entry, not the whole cache (a full clear would recompile every
+# frame at ~20-30 s each).
+from collections import OrderedDict
+
+_BODY_CACHE: OrderedDict = OrderedDict()
 _BODY_CACHE_MAX = 16
 
 
@@ -383,9 +388,10 @@ def _cached_body(cache_key, make, refs):
     freed object's address can't be recycled while its entry lives."""
     hit = _BODY_CACHE.get(cache_key)
     if hit is not None:
+        _BODY_CACHE.move_to_end(cache_key)
         return hit[0]
     if len(_BODY_CACHE) >= _BODY_CACHE_MAX:
-        _BODY_CACHE.clear()
+        _BODY_CACHE.popitem(last=False)
     fn = jax.jit(make())
     _BODY_CACHE[cache_key] = (fn, refs)
     return fn
@@ -408,8 +414,9 @@ def _dispatch_chunks(body, keys, nc, chunk, width=3):
 
 # Auto-built coarse bounce accels, keyed on (mesh id, cluster size). The
 # build is host-side (~50 ms at teapot size) and must not recur per frame;
-# entries keep a mesh ref so a freed mesh's id can't be recycled.
-_GI_ACCEL_CACHE: dict = {}
+# entries keep a mesh ref so a freed mesh's id can't be recycled. LRU
+# like _BODY_CACHE.
+_GI_ACCEL_CACHE: OrderedDict = OrderedDict()
 _GI_ACCEL_CACHE_MAX = 8
 
 
@@ -428,11 +435,12 @@ def _auto_gi_accel(mesh: Mesh, accel: Optional[ClusterAccel],
     ck = (id(mesh), cs)
     hit = _GI_ACCEL_CACHE.get(ck)
     if hit is not None:
+        _GI_ACCEL_CACHE.move_to_end(ck)
         return hit[0]
     from raytracing_tpu.accel.packets import build_cluster_accel
 
     if len(_GI_ACCEL_CACHE) >= _GI_ACCEL_CACHE_MAX:
-        _GI_ACCEL_CACHE.clear()
+        _GI_ACCEL_CACHE.popitem(last=False)
     gi = build_cluster_accel(mesh, cluster_size=cs, variants=("pmt",))
     _GI_ACCEL_CACHE[ck] = (gi, mesh)
     return gi

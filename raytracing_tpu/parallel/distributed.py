@@ -98,9 +98,8 @@ def render_distributed(
     host ever materializes the whole frame's rays), then the sharded
     render runs with replicated geometry and zero collectives. Returns
     the [spp*h*w(padded), 3] GLOBAL sharded radiance array in ray order;
-    use `save_local_shards` for gather-free per-host output or
-    `final_image` (addressable on one host only after a gather) for
-    small frames.
+    write per-host outputs gather-free with `save_local_shards` and
+    reassemble the frame offline with `assemble_shards`.
     """
     from raytracing_tpu.models.camera import camera_rays_for_ids
     from raytracing_tpu.models.whitted import render_rays
