@@ -668,6 +668,14 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
         rays_ref = refs.pop(0)
     else:
         tnear_ref = None
+    if camera is not None and len(camera) > 8 and camera[8]:
+        # Chunked camera mode: the launch covers tiles [base, base+n) of
+        # the frame's block grid; the global tile index (which the ray
+        # derivation needs) is local + base, base riding as a [1, 1] SMEM
+        # scalar so the chunk program stays parameterized by scalars only.
+        base_ref = refs.pop(0)
+    else:
+        base_ref = None
     tmax_ref = refs.pop(0) if per_ray_tmax else None
     tri_ref = refs.pop(0)
     if n_attrs:
@@ -697,7 +705,8 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
         tile = i * subtiles + s
         lo = s * rt
         if camera is not None:
-            d_cols = _camera_dirs(tile, rt, offs_ref, camera[:7])
+            gtile = tile if base_ref is None else tile + base_ref[0, 0]
+            d_cols = _camera_dirs(gtile, rt, offs_ref, camera[:7])
         elif variant == "woop":
             rays8t = rays_ref[:, lo:lo + rt]  # [8, RT]
         else:
@@ -2014,7 +2023,8 @@ def any_hit_soa(
 # ---------------------------------------------------------------------------
 
 
-def _camera_tile_extents(n_tiles, offs, w, h, spp, scale, aspect, bh, bw):
+def _camera_tile_extents(n_tiles, offs, w, h, spp, scale, aspect, bh, bw,
+                         tile0=0):
     """Analytic per-tile frustum extents for camera mode — no ray pack is
     read. A tile is one bh x bw pixel block x spp samples; the direction
     formula is monotone in (pixel + offset) per axis and every f32 op in
@@ -2023,7 +2033,7 @@ def _camera_tile_extents(n_tiles, offs, w, h, spp, scale, aspect, bh, bw):
     a materialized pack would produce. Returns (o_lo, o_hi, d_lo, d_hi)
     [nt, 3] — origins are the pinhole at 0."""
     nbx = w // bw
-    tt = jnp.arange(n_tiles, dtype=jnp.int32)
+    tt = tile0 + jnp.arange(n_tiles, dtype=jnp.int32)
     br = tt // nbx
     bc = tt % nbx
     ox_min, ox_max = jnp.min(offs[:, 0]), jnp.max(offs[:, 0])
@@ -2043,12 +2053,14 @@ def _camera_tile_extents(n_tiles, offs, w, h, spp, scale, aspect, bh, bw):
     return z, z, d_lo, d_hi
 
 
-def _camera_dir_rows_xla(n, offs, w, h, spp, scale, aspect, bh, bw):
+def _camera_dir_rows_xla(n, offs, w, h, spp, scale, aspect, bh, bw,
+                         ray_base=0):
     """XLA twin of `_camera_dirs` over flat block-order ray ids — the
     producer is pure iota math, so XLA fuses it into its consumer (the
     rest-set pass) without materializing a pack. Returns (dx, dy, dz)
-    [1, n] rows, bitwise equal to the block-permuted camera_rays pack."""
-    l = jnp.arange(n, dtype=jnp.int32)[None, :]
+    [1, n] rows, bitwise equal to the block-permuted camera_rays pack.
+    ray_base (traced ok): first block-order ray id of a chunked launch."""
+    l = ray_base + jnp.arange(n, dtype=jnp.int32)[None, :]
     p2 = bh * bw
     run = spp * p2
     b = l // run
@@ -2074,7 +2086,7 @@ def _camera_dir_rows_xla(n, offs, w, h, spp, scale, aspect, bh, bw):
 
 def _launch_camera(kern, cnt, ids, offs, blocks, interpret, n_attrs=0,
                    subtiles=SUBTILES, tnear=None, n_tiles=None,
-                   ray_tile=RAY_TILE):
+                   ray_tile=RAY_TILE, tile_base=None):
     """One-launch camera-mode walk: visit lists stream per grid step as
     SMEM slices (the "smem" ids mode — no whole-array SMEM residency, so
     no chunked launches at any tile count); the only tensor operands are
@@ -2094,6 +2106,10 @@ def _launch_camera(kern, cnt, ids, offs, blocks, interpret, n_attrs=0,
         operands.append(tnear)
     in_specs.append(smem(offs.shape, lambda i, *_: (0, 0)))
     operands.append(offs)
+    if tile_base is not None:
+        in_specs.append(smem((1, 1), lambda i, *_: (0, 0)))
+        operands.append(
+            jnp.reshape(jnp.asarray(tile_base, jnp.int32), (1, 1)))
     for b in blocks:
         in_specs.append(pl.BlockSpec(
             b.shape, lambda i, *_, nd=b.ndim: (0,) * nd))
@@ -2135,6 +2151,8 @@ def nearest_hit_camera_soa(
     bw: int = 16,
     with_attrs: bool = False,
     early_exit: bool | None = None,
+    tile_base=None,
+    tiles: int | None = None,
 ):
     """Primary nearest hit with rays derived IN KERNEL from the pinhole
     camera formula (camera mode) — the TPU-native sibling of the
@@ -2152,17 +2170,29 @@ def nearest_hit_camera_soa(
 
     Returns (t [N], slot [N]) — or (t, slot, attrs [A, N]) with
     with_attrs — in block order. Requires bw | width, bh | height, and a
-    scene whose pmt blocks fit the resident-VMEM budget."""
+    scene whose pmt blocks fit the resident-VMEM budget.
+
+    tile_base / tiles: CHUNKED launches — cover only frame blocks
+    [tile_base, tile_base + tiles) of the block grid (the production
+    render's per-chunk primary level, whitted.render). tile_base may be
+    TRACED (it rides to the kernel as one SMEM scalar, preserving the
+    scalars-only chunk-program argument pattern); tiles must be a static
+    int. Supertile pooling is skipped for chunked launches (a chunk's
+    block run wraps screen rows, where 2-D pooling needs the full
+    grid)."""
     if interpret is None:
         interpret = not _on_tpu()
     if width % bw or height % bh:
         raise ValueError("camera mode needs bw | width and bh | height")
+    if (tile_base is None) != (tiles is None):
+        raise ValueError("tile_base and tiles must be given together")
     if accel.pmt_blocks is None:
         raise ValueError("camera mode needs pmt blocks "
                          "(build_cluster_accel(..., variants with 'pmt'))")
     aspect = float(width) / float(height)
     rt = spp * bh * bw
-    n_tiles = (width // bw) * (height // bh)
+    chunked = tile_base is not None
+    n_tiles = tiles if chunked else (width // bw) * (height // bh)
     n = n_tiles * rt
     n_attrs = accel.attr_blocks.shape[1] if with_attrs else 0
     gsz = _vmem_group_clusters(accel, "pmt", n_attrs,
@@ -2173,8 +2203,9 @@ def nearest_hit_camera_soa(
                          f"scene has {c_total} clusters > budget {gsz}")
     offs = jax.lax.stop_gradient(jnp.asarray(offs, jnp.float32))
     o_lo, o_hi, d_lo, d_hi = _camera_tile_extents(
-        n_tiles, offs, width, height, spp, scale, aspect, bh, bw)
-    g = _supertile_group(c_total)
+        n_tiles, offs, width, height, spp, scale, aspect, bh, bw,
+        tile0=tile_base if chunked else 0)
+    g = 1 if chunked else _supertile_group(c_total)
     nby, nbx = height // bh, width // bw
     # Pooling group: a supertile is a gy x gx BLOCK NEIGHBORHOOD covering
     # a constant ~32x32-pixel footprint, so phase 1's pooled row count —
@@ -2328,7 +2359,7 @@ def nearest_hit_camera_soa(
             [ids, jnp.zeros((pad_t, ids.shape[1]), ids.dtype)])
         tnear = jnp.concatenate(
             [tnear, jnp.full((pad_t, tnear.shape[1]), INF, tnear.dtype)])
-    camera = (width, height, spp, scale, aspect, bh, bw, subtiles)
+    camera = (width, height, spp, scale, aspect, bh, bw, subtiles, chunked)
     kern = functools.partial(
         _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
         variant="pmto", nearest=True, t_max=float("inf"),
@@ -2338,12 +2369,15 @@ def nearest_hit_camera_soa(
     out = _launch_camera(kern, cnt, ids, offs, blocks, interpret,
                          n_attrs=n_attrs, subtiles=subtiles,
                          tnear=tnear if early else None,
-                         n_tiles=n_tiles + pad_t, ray_tile=rt)
+                         n_tiles=n_tiles + pad_t, ray_tile=rt,
+                         tile_base=tile_base if chunked else None)
     t = out[0][:, :n]
     slot = out[1][:, :n]
     attrs = out[2][:, :n] if n_attrs else None
     d_rows = _camera_dir_rows_xla(n, offs, width, height, spp, scale,
-                                  aspect, bh, bw)
+                                  aspect, bh, bw,
+                                  ray_base=(tile_base * rt) if chunked
+                                  else 0)
     o_rows = tuple(jnp.zeros((1, n), jnp.float32) for _ in range(3))
     if accel.rest_blocks is not None:
         t, slot, attrs = _merge_rest_nearest_rows(
@@ -2351,6 +2385,56 @@ def nearest_hit_camera_soa(
     if n_attrs:
         return t[0], slot[0], attrs
     return t[0], slot[0]
+
+
+def camera_mode_supported(accel: ClusterAccel,
+                          with_attrs: bool = True) -> bool:
+    """Whether `nearest_hit_camera_soa` can run for this accel: pmt blocks
+    built and (with attrs) resident within the camera-mode VMEM budget."""
+    if accel is None or accel.pmt_blocks is None:
+        return False
+    n_attrs = accel.attr_blocks.shape[1] if with_attrs else 0
+    gsz = _vmem_group_clusters(accel, "pmt", n_attrs,
+                               budget=_CAMERA_BLOCK_BUDGET_BYTES)
+    return accel.num_clusters <= gsz
+
+
+def nearest_hit_shaded_camera(
+    accel: ClusterAccel,
+    offs: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    scale: float = 1.0,
+    eps: float = 1e-8,
+    interpret: bool | None = None,
+    tile_base=None,
+    tiles: int | None = None,
+    bh: int = 16,
+    bw: int = 16,
+    early_exit: bool | None = None,
+) -> Tuple[Hit, jnp.ndarray]:
+    """`nearest_hit_shaded`'s camera-mode sibling for the PRODUCTION
+    frame's primary level (whitted.render): rays derive in kernel from
+    the pinhole formula, so the level reads no [8, N] ray pack from HBM —
+    the path the headline benchmark measures, now the path the renderer
+    runs (the reference likewise derives each pixel's ray inline in its
+    loop, main.rs:321-365). Returns (Hit, attrs [N, 9]) with PACKED SLOT
+    ids, matching the nearest_hit_shaded contract, in block ray order.
+
+    Differentiability: every output is detached (kernel values; no
+    custom_vjp). render()'s frame path is never differentiated; the
+    optimization paths (inverse.fit via render_rays) use the pack path,
+    whose fused-walk VJP carries gradients."""
+    t, slot, attrs_k = nearest_hit_camera_soa(
+        accel, offs, width=width, height=height, spp=spp, scale=scale,
+        eps=eps, interpret=interpret, bh=bh, bw=bw, with_attrs=True,
+        early_exit=early_exit, tile_base=tile_base, tiles=tiles)
+    hit = jnp.isfinite(t)
+    attrs = _objid_expand(accel, attrs_k, hit).T
+    slot_safe = jnp.where(hit, slot, 0)
+    return Hit(t=t, tri=slot_safe, hit=hit), attrs
 
 
 def nearest_hit_pallas(

@@ -224,6 +224,7 @@ def render_rays(
     config: RenderConfig,
     lights=None,
     gi_accel: Optional[ClusterAccel] = None,
+    camera_chunk=None,
 ) -> jnp.ndarray:
     """Radiance for a batch of primary rays [R, 3] -> gamma-corrected RGB
     [R, 3]. The full ray tree is unrolled into max_depth wavefront levels.
@@ -233,7 +234,15 @@ def render_rays(
     lights. Bounce wavefronts are incoherent: their tiles walk most of
     the scene's visit list, so the per-visit fixed cost dominates and
     bigger clusters amortize it. Results are exact either way (same
-    triangle set; only the walk partition changes)."""
+    triangle set; only the walk partition changes).
+
+    camera_chunk: optional (tile_base, offs [spp, 2], bh, bw) — the
+    primary level then runs the CAMERA-MODE walk (rays derived in kernel
+    from the pinhole formula, kernels/traverse.nearest_hit_shaded_camera)
+    instead of tracing the materialized (o, d). Caller contract: (o, d)
+    ARE the camera rays of frame blocks [tile_base, tile_base + R/rt) in
+    block order (they are still used for shading and child spawning).
+    Requires the pallas backend and camera_mode_supported(accel)."""
     max_depth = max(config.reflect_depth, config.diffuse_depth)
     s = config.diffuse_scatter
     sky = jnp.asarray(config.sky_color, dtype=o.dtype)
@@ -282,14 +291,27 @@ def render_rays(
             lo_, hi_ = batch_bounds(o_l, alive_l)
             k = bounce_bin_key(o_l, d_l, lo_, hi_, alive_l)
             sidx, (o_l, d_l, alive_l) = bin_sort(k, o_l, d_l, alive_l)
-        h, attrs = nearest_hit_shaded(
-            mesh, acc_l, o_l, d_l, config, alive=alive_l,
-            t_cap=t_cap if depth > 1 else None,
-            early_exit=(True if depth > 1 and config.gi_early_exit
-                        else None),
-            # Primaries share the pinhole origin; bounce levels don't.
-            shared_origin=(o_l[0] if depth == 1
-                           and config.primary_shared_origin else None))
+        if depth == 1 and camera_chunk is not None:
+            from raytracing_tpu.kernels.traverse import (
+                nearest_hit_shaded_camera,
+            )
+
+            tb, offs_c, bh_c, bw_c = camera_chunk
+            rt_c = config.samples_per_pixel * bh_c * bw_c
+            h, attrs = nearest_hit_shaded_camera(
+                acc_l, offs_c, width=config.width, height=config.height,
+                spp=config.samples_per_pixel, scale=config.scale,
+                eps=config.eps, tile_base=tb, tiles=n_l // rt_c,
+                bh=bh_c, bw=bw_c)
+        else:
+            h, attrs = nearest_hit_shaded(
+                mesh, acc_l, o_l, d_l, config, alive=alive_l,
+                t_cap=t_cap if depth > 1 else None,
+                early_exit=(True if depth > 1 and config.gi_early_exit
+                            else None),
+                # Primaries share the pinhole origin; bounce levels don't.
+                shared_origin=(o_l[0] if depth == 1
+                               and config.primary_shared_origin else None))
         sh = shade(mesh, acc_l, sun, o_l, d_l, h, config, attrs=attrs,
                    bin_shadow=bin_sh)
         direct = sh.direct
@@ -488,9 +510,26 @@ def render(
     nc = (r + chunk - 1) // chunk
     keys = jax.random.split(key, nc)
 
+    # Camera-mode primaries: the production frame's level 1 runs the same
+    # in-kernel ray derivation the headline benchmark measures (gated on
+    # primary_shared_origin — camera mode IS the origin-folded "pmto"
+    # path, same one-rounding association caveat, see RenderConfig).
+    rt_cam = spp * bh * bw
+    use_camera = False
+    if (by_formula and config.backend == "pallas" and accel is not None
+            and config.primary_shared_origin and chunk % rt_cam == 0):
+        from raytracing_tpu.kernels.traverse import camera_mode_supported
+
+        use_camera = camera_mode_supported(accel)
+    offs_cam = None
+    if use_camera:
+        from raytracing_tpu.ops.sampling import stratified_offsets
+
+        offs_cam = jnp.asarray(stratified_offsets(spp))
+
     lights = getattr(scene, "lights", None)
     ckey = (id(scene.mesh), id(accel), id(gi_accel), id(scene.sun),
-            id(lights), config, chunk, by_formula)
+            id(lights), config, chunk, by_formula, use_camera)
     refs = (scene, accel, gi_accel)
 
     if by_formula:
@@ -498,9 +537,11 @@ def render(
             def body(i, key_c):
                 ids = block_ray_ids(i, chunk, config, bh, bw)
                 o_c, d_c = camera_rays_for_ids(ids, config)
+                cam = ((i * (chunk // rt_cam), offs_cam, bh, bw)
+                       if use_camera else None)
                 return render_rays(scene.mesh, accel, scene.sun, o_c, d_c,
                                    key_c, config, lights=lights,
-                                   gi_accel=gi_accel)
+                                   gi_accel=gi_accel, camera_chunk=cam)
             return body
 
         rgb = _dispatch_chunks(_cached_body(ckey, make, refs), keys, nc,

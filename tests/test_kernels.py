@@ -1,6 +1,7 @@
 """Pallas megakernel tests (interpret mode on CPU — the driver/bench
 exercise the compiled TPU path; these pin down semantics vs the oracle)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -341,6 +342,29 @@ def test_camera_mode_matches_pack_path():
     a1 = np.asarray(a1)
     assert np.isfinite(a1).all()
     assert (a1[:, ~hit] == 0.0).all()
+
+    # CHUNKED camera mode (the production render's per-chunk primary
+    # level): covering tiles [base, base+tiles) with a TRACED base must
+    # reproduce the full-frame walk's slice bit-exactly.
+    rt = spp * 16 * 16
+    base, tiles = 3, 4
+
+    @jax.jit
+    def chunked(b):
+        return nearest_hit_camera_soa(accel, offs, width=w, height=h,
+                                      spp=spp, interpret=True,
+                                      tile_base=b, tiles=tiles)
+
+    t2, s2 = chunked(jnp.int32(base))
+    sl = slice(base * rt, (base + tiles) * rt)
+    # Same winners everywhere; t to the parity tolerance above (the
+    # traced ray_base blocks constant-folding of the direction math, so
+    # XLA may FMA-contract the rest-merge differently between programs).
+    np.testing.assert_array_equal(np.asarray(s1)[sl], np.asarray(s2))
+    t1s, t2n = np.asarray(t1)[sl], np.asarray(t2)
+    hit2 = np.isfinite(t2n)
+    np.testing.assert_array_equal(np.isfinite(t1s), hit2)
+    np.testing.assert_allclose(t1s[hit2], t2n[hit2], rtol=1e-5)
 
 
 def test_camera_mode_refined_pooling_exact(monkeypatch):

@@ -231,3 +231,27 @@ def test_primary_shared_origin_knob(default_scene):
                           accel=accel, key=jax.random.PRNGKey(5)))
     assert np.isfinite(b).all()
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_render_camera_mode_matches_pack_path(default_scene, monkeypatch):
+    """With primary_shared_origin, render()'s primary level runs the
+    camera-mode walk (rays derived in kernel). Forcing the pack path
+    instead (same pmto intersector, materialized rays) must produce the
+    same image to ulp tolerance: derived directions are bitwise equal to
+    the pack's and the walk's reduction rules are the same (XLA may
+    FMA-contract the fused rest-merge differently between the two
+    programs — the standard parity-test tolerance)."""
+    import raytracing_tpu.kernels.traverse as T
+
+    cfg = small_cfg(width=32, height=32, backend="pallas",
+                    chunk_size=32 * 32, reflect_depth=1, diffuse_depth=2,
+                    diffuse_scatter=2, primary_shared_origin=True)
+    accel = build_cluster_accel(default_scene.mesh, cluster_size=16)
+    assert T.camera_mode_supported(accel)
+    a = np.asarray(render(default_scene, cfg, accel=accel,
+                          key=jax.random.PRNGKey(5)))
+    monkeypatch.setattr(T, "camera_mode_supported", lambda *_, **__: False)
+    b = np.asarray(render(default_scene, cfg, accel=accel,
+                          key=jax.random.PRNGKey(5)))
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=1e-5)
