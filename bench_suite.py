@@ -226,10 +226,12 @@ def bench_frame(scene, cfg, accel, iters=2):
     _emit("whitted_fps_tuned", 1.0 / dt_t, "fps")
 
 
-def bench_scaling(scene, cfg):
+def bench_scaling(scene, cfg, accel):
     """Per-device throughput at 1 vs N devices (render_sharded). On TPU
     the sharded render runs the pallas backend — the same kernels the
-    headline measures, not the XLA cluster fallback."""
+    headline measures, not the XLA cluster fallback. The accel must be
+    passed explicitly: without it render_sharded silently brute-forces
+    (round-3 records measured that dense path by mistake)."""
     from raytracing_tpu.parallel.shard import make_device_mesh, render_sharded
 
     results = {}
@@ -239,10 +241,11 @@ def bench_scaling(scene, cfg):
         dmesh = make_device_mesh(n)
         sc = cfg.replace(width=256, height=256, samples_per_pixel=4,
                          backend=backend, diffuse_depth=0, reflect_depth=1)
-        img = jax.block_until_ready(render_sharded(scene, sc, dmesh))
+        img = jax.block_until_ready(
+            render_sharded(scene, sc, dmesh, accel=accel))
         t0 = time.perf_counter()
         for k in range(3):
-            img = render_sharded(scene, sc, dmesh,
+            img = render_sharded(scene, sc, dmesh, accel=accel,
                                  key=jax.random.PRNGKey(k))
         jax.block_until_ready(img)
         dt = (time.perf_counter() - t0) / 3
@@ -256,21 +259,28 @@ import json, time, jax, numpy as np
 from raytracing_tpu.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 from raytracing_tpu.geometry.scene import build_default_scene
+from raytracing_tpu.accel.packets import build_cluster_accel
 from raytracing_tpu.config import RenderConfig
 from raytracing_tpu.parallel.shard import make_device_mesh, render_sharded
 
 scene = build_default_scene(t=0.0)
+accel = build_cluster_accel(scene.mesh, cluster_size=16)
 res = {}
 for n in (1, 8):
-    # WEAK scaling: spp = n keeps rays/device fixed at 256*256.
-    cfg = RenderConfig(width=256, height=256, samples_per_pixel=n,
-                       backend="cluster", diffuse_depth=0, reflect_depth=1,
-                       chunk_size=8192)
+    # WEAK scaling: spp = n keeps rays/device fixed at 128*128, and the
+    # FULL default pipeline (reflect 4, 10-ray diffuse to depth 2, accel
+    # passed — round 3 omitted it and measured the brute path) keeps the
+    # per-shard work compute-dominated (t1 >> 100 ms), so the efficiency
+    # measures replication overhead under load, not dispatch.
+    cfg = RenderConfig(width=128, height=128, samples_per_pixel=n,
+                       backend="cluster", chunk_size=8192)
     dmesh = make_device_mesh(n)
-    img = jax.block_until_ready(render_sharded(scene, cfg, dmesh))
+    img = jax.block_until_ready(
+        render_sharded(scene, cfg, dmesh, accel=accel))
     t0 = time.perf_counter()
     for k in range(3):
-        img = render_sharded(scene, cfg, dmesh, key=jax.random.PRNGKey(k))
+        img = render_sharded(scene, cfg, dmesh, accel=accel,
+                             key=jax.random.PRNGKey(k))
     jax.block_until_ready(img)
     res[n] = (time.perf_counter() - t0) / 3
 print(json.dumps({"t1_s": res[1], "t8_s": res[8], "eff": res[1] / res[8]}))
@@ -385,7 +395,7 @@ def main():
     # 6. scaling efficiency across available devices; with one real
     # chip, the 8-virtual-device CPU mesh pins replication overhead
     # (see bench_virtual_scaling — not a TPU performance number).
-    results, n_all = bench_scaling(scene, cfg)
+    results, n_all = bench_scaling(scene, cfg, accel)
     if n_all > 1:
         _emit(f"scaling_efficiency_n{n_all}",
               results[n_all] / results[1], "x", baseline=0.85)

@@ -82,6 +82,13 @@ class RenderConfig:
     # skipped when the primary accel is already at least this coarse, or
     # when an explicit gi_accel is passed. Pallas backend only.
     gi_cluster_size: int = 64
+    # Culling-tile size (rays per tile) for the incoherent bounce
+    # (depth>1) levels' nearest + shadow queries, pallas backend only.
+    # Bounce rays diverge, so a 1024-ray tile's frustum balloons; smaller
+    # tiles tighten frustums (fewer clusters per visit list) at the price
+    # of phase-1 rows and per-visit lane amortization. 0 = the kernel
+    # default (kernels/traverse.RAY_TILE). Exact either way.
+    gi_ray_tile: int = 0
     # Visibility samples per spherical area light per shading point (only
     # used when the scene carries lights; see models/whitted.
     # area_light_term). More samples -> smoother penumbras.

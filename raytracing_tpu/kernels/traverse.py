@@ -1140,9 +1140,9 @@ def rays_to_soa(o: jnp.ndarray, d: jnp.ndarray, alive=None) -> jnp.ndarray:
     )
 
 
-def _pad_rays_soa(rays8):
+def _pad_rays_soa(rays8, ray_tile=RAY_TILE):
     n = rays8.shape[1]
-    pad = (-n) % (RAY_TILE * SUBTILES)
+    pad = (-n) % (ray_tile * SUBTILES)
     if pad:
         # Padding rays: finite, and DEAD (row 7 = 0) so padding tiles
         # cull to zero visits.
@@ -1449,23 +1449,23 @@ def _shaded_walk(static, verts, normals, colors, materials, o, d, rays8,
     Gradients reach verts (via the re-derived Möller–Trumbore t),
     normals, colors, materials, and the ray origins/directions;
     traversal decisions stay detached (SURVEY.md §7)."""
-    eps, variant, t_cap, early_exit, interpret, has_so = static
+    eps, variant, t_cap, early_exit, interpret, has_so, rt = static
     t_k, slot, attrs_k = nearest_hit_attrs_soa(
         accel, rays8, eps, interpret, variant, t_cap=t_cap,
         early_exit=early_exit,
-        shared_origin=shared_origin if has_so else None)
+        shared_origin=shared_origin if has_so else None, ray_tile=rt)
     hit = jnp.isfinite(t_k)
     return t_k, slot, _objid_expand(accel, attrs_k, hit).T
 
 
 def _shaded_walk_fwd(static, verts, normals, colors, materials, o, d,
                      rays8, tri_v, accel, shared_origin):
-    eps, variant, t_cap, early_exit, interpret, has_so = static
+    eps, variant, t_cap, early_exit, interpret, has_so, rt = static
     t_k, slot, both = nearest_hit_attrs_soa(
         accel, rays8, eps, interpret, variant, t_cap=t_cap,
         early_exit=early_exit,
         shared_origin=shared_origin if has_so else None,
-        attr_kind="both")
+        attr_kind="both", ray_tile=rt)
     a_rows = accel.attr_blocks.shape[1]
     planes = both[a_rows:]          # [11, N] backward grad planes
     hit = jnp.isfinite(t_k)
@@ -1591,7 +1591,7 @@ _CAMERA_BLOCK_BUDGET_BYTES = 106 * 1024 * 1024
 
 def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
                  n_attrs, tmax_row=None, attr_kind="shade",
-                 early_exit=None, shared_origin=None):
+                 early_exit=None, shared_origin=None, ray_tile=RAY_TILE):
     """Phase 1-3 over the cluster set, split into VMEM-sized groups when
     the scene's kernel blocks exceed the resident budget (the >VMEM path:
     each group is one ordinary resident-block walk; per-ray results merge
@@ -1622,7 +1622,8 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
     if STREAM_GROUPS and c_total > gsz:
         return _walk_groups_streamed(
             accel, rp, eps, interpret, variant, nearest, t_max, n_attrs,
-            tmax_row, all_blocks, all_attrs, gsz, t_cap, early_exit)
+            tmax_row, all_blocks, all_attrs, gsz, t_cap, early_exit,
+            ray_tile=ray_tile)
     best = None
     for lo in range(0, c_total, gsz):
         hi = min(lo + gsz, c_total)
@@ -1640,7 +1641,7 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
                       if early_exit is None else bool(early_exit)))
         ids, tnear, cnt = _tile_visit_lists_soa(
             rp, accel.cluster_min[lo:hi], accel.cluster_max[lo:hi],
-            RAY_TILE, interpret=interpret, t_cap=t_cap)
+            ray_tile, interpret=interpret, t_cap=t_cap)
         # Wide lists (large scenes) would force chunked prefetch-mode
         # launches; stream the lists per grid step instead (one launch).
         mode = IDS_MODE
@@ -1654,7 +1655,7 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
             _walk_kernel, cluster_size=cs, eps=eps, variant=variant,
             nearest=nearest, t_max=t_max, n_attrs=n_attrs,
             unroll=VISIT_UNROLL, per_ray_tmax=tmax_row is not None,
-            ray_tile=RAY_TILE, ids_mode=mode, early_exit=early,
+            ray_tile=ray_tile, ids_mode=mode, early_exit=early,
             ee_batch=_ee_batch_for(cs),
         )
         blocks = (all_blocks[lo:hi],)
@@ -1662,7 +1663,7 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
             blocks = blocks + (all_attrs[lo:hi],)
         out = _launch_walk(kern, cnt, ids, rp, blocks, interpret,
                            n_attrs=n_attrs, tmax_row=tmax_row,
-                           ray_tile=RAY_TILE, subtiles=SUBTILES,
+                           ray_tile=ray_tile, subtiles=SUBTILES,
                            ids_mode=mode,
                            tnear=tnear if early else None)
         if nearest:
@@ -1686,7 +1687,7 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
 
 def _walk_groups_streamed(accel, rp, eps, interpret, variant, nearest,
                           t_max, n_attrs, tmax_row, all_blocks, all_attrs,
-                          gsz, t_cap, early_exit):
+                          gsz, t_cap, early_exit, ray_tile=RAY_TILE):
     """>VMEM walk via `_gstream_kernel`: one launch, cluster groups
     streamed along the inner grid axis (Pallas double-buffers the sliced
     block table), accumulators carried in VMEM scratch. Phase 1 runs per
@@ -1703,7 +1704,7 @@ def _walk_groups_streamed(accel, rp, eps, interpret, variant, nearest,
     if pad_c:
         cmin = jnp.concatenate([cmin, jnp.full((pad_c, 3), big)], axis=0)
         cmax = jnp.concatenate([cmax, jnp.full((pad_c, 3), -big)], axis=0)
-    lo_e, hi_e = _tile_extents_pallas(rp, RAY_TILE, interpret)
+    lo_e, hi_e = _tile_extents_pallas(rp, ray_tile, interpret)
     o_lo, o_hi = lo_e[:, 0:3], hi_e[:, 0:3]
     d_lo, d_hi = lo_e[:, 4:7], hi_e[:, 4:7]
     tile_alive = hi_e[:, 7] > 0.0
@@ -1734,13 +1735,13 @@ def _walk_groups_streamed(accel, rp, eps, interpret, variant, nearest,
     kern = functools.partial(
         _gstream_kernel, cluster_size=cs, group_size=gsz, eps=eps,
         variant=variant, nearest=nearest, t_max=t_max, n_attrs=n_attrs,
-        per_ray_tmax=tmax_row is not None, ray_tile=RAY_TILE,
+        per_ray_tmax=tmax_row is not None, ray_tile=ray_tile,
         early_exit=early,
         ee_batch=_ee_batch_for(cs),
     )
     out = _launch_gstream(kern, cnt, ids, rp, blocks, interpret,
                           n_attrs=n_attrs, tmax_row=tmax_row,
-                          ray_tile=RAY_TILE, subtiles=SUBTILES,
+                          ray_tile=ray_tile, subtiles=SUBTILES,
                           tnear=tnear if early else None,
                           nearest=nearest, cluster_size=cs)
     if nearest:
@@ -1877,6 +1878,7 @@ def nearest_hit_soa(
     interpret: bool | None = None,
     variant: str = DEFAULT_VARIANT,
     shared_origin: jnp.ndarray | None = None,
+    ray_tile: int = RAY_TILE,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Raw kernel nearest-hit over the SoA ray pack [8, N] (see
     `rays_to_soa`). Returns (t [N] detached, tri_id [N] original ids).
@@ -1891,10 +1893,11 @@ def nearest_hit_soa(
     if interpret is None:
         interpret = not _on_tpu()
     rays8 = jax.lax.stop_gradient(rays8)
-    rp, r = _pad_rays_soa(rays8)
+    rp, r = _pad_rays_soa(rays8, ray_tile)
     t_k, slot, _ = _walk_groups(accel, rp, eps, interpret, variant,
                                 nearest=True, t_max=float("inf"), n_attrs=0,
-                                shared_origin=shared_origin)
+                                shared_origin=shared_origin,
+                                ray_tile=ray_tile)
     t_k, slot, _ = _merge_rest_nearest(accel, rp, t_k, slot, None, eps, 0)
     t_k = t_k[0, :r]
     slot = slot[0, :r]
@@ -1919,6 +1922,7 @@ def nearest_hit_attrs_soa(
     early_exit: bool | None = None,
     shared_origin: jnp.ndarray | None = None,
     attr_kind: str = "shade",
+    ray_tile: int = RAY_TILE,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Nearest hit over the SoA ray pack, with the winning triangle's
     shading attributes accumulated IN the kernel (see _walk_kernel). Returns
@@ -1938,7 +1942,7 @@ def nearest_hit_attrs_soa(
     if interpret is None:
         interpret = not _on_tpu()
     rays8 = jax.lax.stop_gradient(rays8)
-    rp, r = _pad_rays_soa(rays8)
+    rp, r = _pad_rays_soa(rays8, ray_tile)
     n_attrs = accel.attr_blocks.shape[1]
     if attr_kind == "both":
         n_attrs += accel.grad_blocks.shape[1]
@@ -1948,7 +1952,8 @@ def nearest_hit_attrs_soa(
                                         n_attrs=n_attrs,
                                         attr_kind=attr_kind,
                                         early_exit=early_exit,
-                                        shared_origin=shared_origin)
+                                        shared_origin=shared_origin,
+                                        ray_tile=ray_tile)
         t_k, slot, attrs = _merge_rest_nearest(accel, rp, t_k, slot, attrs,
                                                eps, n_attrs,
                                                attr_kind=attr_kind)
@@ -1957,7 +1962,8 @@ def nearest_hit_attrs_soa(
                               nearest=True, t_max=float(t_cap),
                               n_attrs=n_attrs, attr_kind=attr_kind,
                               early_exit=early_exit,
-                              shared_origin=shared_origin)
+                              shared_origin=shared_origin,
+                              ray_tile=ray_tile)
     t1, s1, a1 = _merge_rest_nearest(accel, rp, t1, s1, a1, eps, n_attrs,
                                      attr_kind=attr_kind)
     done = t1 < t_cap  # [1, rp]; rest hits beyond cap do NOT settle a ray
@@ -1967,7 +1973,8 @@ def nearest_hit_attrs_soa(
                               nearest=True, t_max=float("inf"),
                               n_attrs=n_attrs, attr_kind=attr_kind,
                               early_exit=early_exit,
-                              shared_origin=shared_origin)
+                              shared_origin=shared_origin,
+                              ray_tile=ray_tile)
     # Survivors may still be beaten by their (full-range) rest candidate
     # already merged into pass 1: keep the elementwise nearest of both.
     better2 = t2 < t1
@@ -1984,6 +1991,7 @@ def any_hit_soa(
     t_max=float("inf"),
     interpret: bool | None = None,
     variant: str = DEFAULT_VARIANT,
+    ray_tile: int = RAY_TILE,
 ) -> jnp.ndarray:
     """Raw kernel occlusion query over the SoA ray pack [8, N]. t_max may
     be a python float (uniform bound) or a [N] array (per-ray bound — the
@@ -2000,17 +2008,17 @@ def any_hit_soa(
             # arithmetic (0 * inf in the Woop matmul path) can't NaN.
             row = jnp.where(jnp.isfinite(t_max), t_max, 3e38)
             tmax_row = row.astype(rays8.dtype)[None, :]
-            pad = (-rays8.shape[1]) % (RAY_TILE * SUBTILES)
+            pad = (-rays8.shape[1]) % (ray_tile * SUBTILES)
             if pad:
                 tmax_row = jnp.concatenate(
                     [tmax_row, jnp.zeros((1, pad), tmax_row.dtype)], axis=1)
             t_max = float("inf")
         else:
             t_max = float(t_max)
-    rp, r = _pad_rays_soa(rays8)
+    rp, r = _pad_rays_soa(rays8, ray_tile)
     _, occ, _ = _walk_groups(accel, rp, eps, interpret, variant,
                              nearest=False, t_max=t_max, n_attrs=0,
-                             tmax_row=tmax_row)
+                             tmax_row=tmax_row, ray_tile=ray_tile)
     occ_b = occ[0] != 0
     occ_b = _merge_rest_occlusion(
         accel, rp, occ_b, eps, t_max,
@@ -2471,6 +2479,7 @@ def nearest_hit_shaded(
     t_cap: float | None = None,
     early_exit: bool | None = None,
     shared_origin: jnp.ndarray | None = None,
+    ray_tile: int = RAY_TILE,
 ) -> Tuple[Hit, jnp.ndarray]:
     """The renderer's gather-free fast path: nearest hit + the winning
     triangle's shading attributes straight out of the kernel. Returns
@@ -2490,7 +2499,7 @@ def nearest_hit_shaded(
     sg = jax.lax.stop_gradient
     rays8 = rays_to_soa(sg(o), sg(d), alive=alive)
     static = (eps, variant, t_cap, early_exit, interpret,
-              shared_origin is not None)
+              shared_origin is not None, ray_tile)
     so = (sg(shared_origin) if shared_origin is not None
           else jnp.zeros(3, o.dtype))
     t, slot, attrs = _shaded_walk(
@@ -2512,7 +2521,9 @@ def any_hit_pallas(
     interpret: bool | None = None,
     variant: str = DEFAULT_VARIANT,
     alive: jnp.ndarray | None = None,
+    ray_tile: int = RAY_TILE,
 ) -> jnp.ndarray:
     sg = jax.lax.stop_gradient
     rays8 = rays_to_soa(sg(o), sg(d), alive=alive)
-    return any_hit_soa(accel, rays8, eps, t_max, interpret, variant)
+    return any_hit_soa(accel, rays8, eps, t_max, interpret, variant,
+                       ray_tile=ray_tile)

@@ -86,6 +86,7 @@ def shade(
     config: RenderConfig,
     attrs: Optional[jnp.ndarray] = None,
     bin_shadow: Optional[bool] = None,
+    ray_tile: Optional[int] = None,
 ) -> Shaded:
     """Direct lighting at hit points, incl. the shadow (any-hit) query —
     the reference's main.rs:176-241 in batch form.
@@ -138,11 +139,12 @@ def shade(
         k = bin_key(pos, sun_dir, lo, hi, sh_alive)
         sidx, (pos_s, alive_s) = bin_sort(k, pos, sh_alive)
         dir_s = normalize(sun - pos_s, eps=1e-20)
-        occ_s = any_hit(mesh, accel, pos_s, dir_s, config, alive=alive_s)
+        occ_s = any_hit(mesh, accel, pos_s, dir_s, config, alive=alive_s,
+                        ray_tile=ray_tile)
         (occluded,) = unsort(sidx, occ_s)
     else:
         occluded = any_hit(mesh, accel, pos, sun_dir, config,
-                           alive=sh_alive)
+                           alive=sh_alive, ray_tile=ray_tile)
     lit = hit.hit & facing & ~occluded
     direct = jnp.where(
         lit[:, None], color * (ndl * albedo_pi)[:, None], 0.0
@@ -159,6 +161,7 @@ def area_light_term(
     hit_mask: jnp.ndarray,
     key: jax.Array,
     config: RenderConfig,
+    ray_tile: Optional[int] = None,
 ) -> jnp.ndarray:
     """Soft-shadowed direct radiance from spherical area lights [N, 3] —
     the feature the reference stubbed out (`lights: Vec::new(), // TODO`,
@@ -206,7 +209,8 @@ def area_light_term(
             # shadow-query note in `shade`.
             t_stop = t_light * (1.0 - 1e-4)
             occluded = any_hit(mesh, accel, pos, w_dir, config,
-                               t_max=t_stop, alive=alive)
+                               t_max=t_stop, alive=alive,
+                               ray_tile=ray_tile)
             vis = alive & ~occluded
             acc = acc + jnp.where(vis, jnp.maximum(ndl, 0.0), 0.0)
         radiance = (acc / config.light_samples * omega)[:, None] * em[None, :]
@@ -245,6 +249,7 @@ def render_rays(
     Requires the pallas backend and camera_mode_supported(accel)."""
     max_depth = max(config.reflect_depth, config.diffuse_depth)
     s = config.diffuse_scatter
+    rt_gi = config.gi_ray_tile or None
     sky = jnp.asarray(config.sky_color, dtype=o.dtype)
     bin_sh = (config.bin_shadow if isinstance(config.bin_shadow, bool)
               else gi_accel is None)  # "auto" (see RenderConfig)
@@ -311,14 +316,17 @@ def render_rays(
                             else None),
                 # Primaries share the pinhole origin; bounce levels don't.
                 shared_origin=(o_l[0] if depth == 1
-                               and config.primary_shared_origin else None))
+                               and config.primary_shared_origin else None),
+                ray_tile=rt_gi if depth > 1 else None)
         sh = shade(mesh, acc_l, sun, o_l, d_l, h, config, attrs=attrs,
-                   bin_shadow=bin_sh)
+                   bin_shadow=bin_sh,
+                   ray_tile=rt_gi if depth > 1 else None)
         direct = sh.direct
         if lights is not None:
             kl = jax.random.fold_in(key, 7777 + depth)
             area = area_light_term(mesh, acc_l, lights, sh, h.hit, kl,
-                                   config)
+                                   config,
+                                   ray_tile=rt_gi if depth > 1 else None)
             direct = direct + jnp.where(h.hit[:, None], area, 0.0)
         has_r = depth < config.reflect_depth
         has_d = depth < config.diffuse_depth

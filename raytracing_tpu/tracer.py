@@ -63,6 +63,7 @@ def nearest_hit_shaded(
     t_cap: Optional[float] = None,
     early_exit: Optional[bool] = None,
     shared_origin: Optional[jnp.ndarray] = None,
+    ray_tile: Optional[int] = None,
 ):
     """Nearest hit plus (on the pallas backend) the winning triangle's
     shading attributes accumulated inside the kernel — the gather-free hot
@@ -75,12 +76,14 @@ def nearest_hit_shaded(
     other backends ignore it; results are identical either way)."""
     if config.backend == "pallas" and accel is not None:
         from raytracing_tpu.kernels.traverse import (
+            RAY_TILE,
             nearest_hit_shaded as _shaded,
         )
 
         return _shaded(mesh, accel, o, d, config.eps, alive=alive,
                        t_cap=t_cap, early_exit=early_exit,
-                       shared_origin=shared_origin)
+                       shared_origin=shared_origin,
+                       ray_tile=ray_tile or RAY_TILE)
     return nearest_hit(mesh, accel, o, d, config, alive=alive), None
 
 
@@ -92,6 +95,7 @@ def any_hit(
     config: RenderConfig,
     t_max=INF,
     alive: Optional[jnp.ndarray] = None,
+    ray_tile: Optional[int] = None,
 ) -> jnp.ndarray:
     if config.backend == "bruteforce" or accel is None:
         tri = triangle_soa(mesh.verts, mesh.tri_v)
@@ -99,8 +103,8 @@ def any_hit(
     if config.backend == "cluster":
         return any_hit_cluster(mesh, accel, o, d, t_max, config.eps)
     if config.backend == "pallas":
-        from raytracing_tpu.kernels.traverse import any_hit_pallas
+        from raytracing_tpu.kernels.traverse import RAY_TILE, any_hit_pallas
 
         return any_hit_pallas(mesh, accel, o, d, config.eps, t_max,
-                              alive=alive)
+                              alive=alive, ray_tile=ray_tile or RAY_TILE)
     raise ValueError(f"unknown backend {config.backend!r}")

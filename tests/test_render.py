@@ -233,6 +233,22 @@ def test_primary_shared_origin_knob(default_scene):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_gi_ray_tile_knob(default_scene):
+    """gi_ray_tile shrinks the bounce levels' culling tiles — a pure
+    performance knob: the image must match the default exactly (same
+    candidate supersets, same intersection math, same RNG)."""
+    cfg = small_cfg(width=16, height=16, backend="pallas",
+                    chunk_size=16 * 16, reflect_depth=2, diffuse_depth=2,
+                    diffuse_scatter=2)
+    accel = build_cluster_accel(default_scene.mesh, cluster_size=16)
+    a = np.asarray(render(default_scene, cfg, accel=accel,
+                          key=jax.random.PRNGKey(5)))
+    b = np.asarray(render(default_scene, cfg.replace(gi_ray_tile=256),
+                          accel=accel, key=jax.random.PRNGKey(5)))
+    assert np.isfinite(b).all()
+    np.testing.assert_array_equal(a, b)
+
+
 def test_render_camera_mode_matches_pack_path(default_scene, monkeypatch):
     """With primary_shared_origin, render()'s primary level runs the
     camera-mode walk (rays derived in kernel). Forcing the pack path
