@@ -70,10 +70,13 @@ def _emit(metric, value, unit, baseline=None):
             json.dump(RECORDS, f, indent=1)
 
 
-def bench_backward_over_forward(scene, accel, cfg):
+def bench_backward_over_forward(scene, accel, cfg, lights=None):
     """Forward render vs value_and_grad of a scalar pixel loss w.r.t.
     verts + colors + materials, on identical ray batches — chained so no
-    call can be served from cache."""
+    call can be served from cache. `lights`: optional SphereLight set —
+    the second recorded configuration (soft-shadow queries + their VJP in
+    the loop) demonstrating the ratio is structural, not tuned to the
+    default path."""
     ids = jnp.concatenate(
         [block_ray_ids(i, 16384, cfg, 16, 16) for i in range(90, 106)]
     )
@@ -83,7 +86,8 @@ def bench_backward_over_forward(scene, accel, cfg):
     def loss_of(verts, colors, materials, key_):
         mesh = scene.mesh._replace(verts=verts, colors=colors,
                                    materials=materials)
-        rgb = render_rays(mesh, accel, scene.sun, o, d, key_, cfg)
+        rgb = render_rays(mesh, accel, scene.sun, o, d, key_, cfg,
+                          lights=lights)
         return jnp.sum(rgb * rgb)
 
     @jax.jit
@@ -366,11 +370,24 @@ def main():
     _emit(rec["metric"], rec["value"], rec["unit"],
           baseline=bench.BASELINE_RAYS_PER_S)
 
-    # 2. backward/forward ratio
+    # 2. backward/forward ratio — default config, plus a second recorded
+    # configuration (area-light scene: soft-shadow any-hit queries and
+    # their VJP ride the loop) so the <=2.5 target is evidenced off the
+    # tuned path too.
     ratio, tf, tb = bench_backward_over_forward(scene, accel, cfg)
     _emit("backward_over_forward", ratio, "x", baseline=2.5)
     _emit("forward_262k_rays", tf * 1e3, "ms")
     _emit("backward_262k_rays", tb * 1e3, "ms")
+    from raytracing_tpu.geometry.mesh import SphereLight
+
+    lights = SphereLight(center=jnp.array([[1.0, 8.0, 7.0]]),
+                         radius=jnp.array([1.5]),
+                         emission=jnp.array([[1.5, 1.5, 1.5]]))
+    ratio_l, tf_l, tb_l = bench_backward_over_forward(
+        scene, accel, cfg, lights=lights)
+    _emit("backward_over_forward_arealight", ratio_l, "x", baseline=2.5)
+    _emit("forward_262k_rays_arealight", tf_l * 1e3, "ms")
+    _emit("backward_262k_rays_arealight", tb_l * 1e3, "ms")
 
     # 3. full reference frame — default config, then the tuned fast path
     # (coarse gi_accel for bounce levels; all public RenderConfig/render

@@ -89,6 +89,13 @@ class RenderConfig:
     # of phase-1 rows and per-visit lane amortization. 0 = the kernel
     # default (kernels/traverse.RAY_TILE). Exact either way.
     gi_ray_tile: int = 0
+    # Per-visit lane-slab pre-test for bounce (depth>1) queries (pallas
+    # backend only): a GI tile's frustum-hull visit list overcounts the
+    # clusters its ACTUAL rays enter ~2.6x (measured: 90 listed vs 34
+    # entered per 1024-ray teapot GI tile), so the walk skips visits no
+    # lane enters (kernels/traverse lane_cull — bit-exact; measured 99 ->
+    # 78 ms on the busy chunk's GI trace).
+    gi_lane_cull: bool = True
     # Visibility samples per spherical area light per shading point (only
     # used when the scene carries lights; see models/whitted.
     # area_light_term). More samples -> smoother penumbras.

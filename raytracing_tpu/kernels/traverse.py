@@ -130,6 +130,18 @@ _TINY = 1e-20
 _BIG_ID = 2 ** 30  # python int: kernels may not capture traced constants
 
 
+def _flat_acc_auto(cs, n_attrs):
+    """Whether the walk should reduce each visit to [1, RT] rows
+    (flat_acc) instead of carrying [CS, RT] best planes. The planes are
+    loop-carried VMEM state, re-read + re-written every visit: at
+    cs * (2 + n_attrs) plane-rows that traffic dominates the walk
+    (measured on v5e: the cs=64 4-attr GI walk's time matched the
+    accumulator traffic at VMEM bandwidth, ~6x the intersection FLOPs).
+    Small-cluster attribute-less walks keep the plane form, where the
+    deferred one-shot reduction is cheaper than per-visit reduces."""
+    return cs * (2 + n_attrs) >= 64
+
+
 def _ee_batch_for(cs):
     """Visits fused per early-exit check, scaled inversely with cluster
     size: a [CS, RT] visit's VPU cost grows with CS while the exit
@@ -582,6 +594,39 @@ def _woop_tile_t(rays8t, blk, cs, eps, t_limit=None):
     return jnp.where(valid, t, INF)
 
 
+def _scene_exit_row(o_cols, d_cols, bbox_ref, rt):
+    """Per-lane UPPER bound on the t of any possible cluster hit: the exit
+    parameter of the ray from the walked cluster set's union AABB
+    (bbox_ref [2, 3] SMEM; row 0 = min, row 1 = max). Every cluster lies
+    inside that box, so a hit at parameter t implies the hit point is in
+    the box, i.e. t <= exit. Lanes that MISS the box entirely can hit
+    nothing and settle at -inf from the start. This feeds ONLY the
+    batched front-to-back early exit (_walk_kernel): sky/escaping lanes
+    otherwise hold best_t = +inf forever and keep their whole tile
+    walking every listed cluster.
+
+    Conservative float handling: the exit is inflated by ~a few ulp so
+    f32 rounding can't under-estimate the true exit; near-zero direction
+    components make the axis unbounded (exit grows — safe direction).
+    o_cols None = origin at 0 (camera mode). Returns [1, rt] f32."""
+    tmin = None
+    tmax = None
+    for k in range(3):
+        d = d_cols[k]
+        o = o_cols[k] if o_cols is not None else jnp.zeros((1, rt),
+                                                           jnp.float32)
+        deg = jnp.abs(d) < _TINY
+        dk = jnp.where(deg, _TINY, d)
+        t1 = (bbox_ref[0, k] - o) / dk
+        t2 = (bbox_ref[1, k] - o) / dk
+        lo_ = jnp.where(deg, -INF, jnp.minimum(t1, t2))
+        hi_ = jnp.where(deg, INF, jnp.maximum(t1, t2))
+        tmin = lo_ if k == 0 else jnp.maximum(tmin, lo_)
+        tmax = hi_ if k == 0 else jnp.minimum(tmax, hi_)
+    exit_t = tmax * (1.0 + 1e-5) + 1e-6
+    return jnp.where((tmin <= exit_t) & (exit_t >= 0.0), exit_t, -INF)
+
+
 def _camera_dirs(tile, rt, offs_ref, camera):
     """In-kernel primary-ray direction rows for culling tile `tile` —
     the TPU-native answer to "don't stream what index arithmetic can
@@ -626,7 +671,8 @@ def _camera_dirs(tile, rt, offs_ref, camera):
 def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                  eps, variant, nearest, t_max, n_attrs=0, unroll=1,
                  per_ray_tmax=False, ray_tile=RAY_TILE, ids_mode="prefetch",
-                 early_exit=False, camera=None, ee_batch=None):
+                 early_exit=False, camera=None, ee_batch=None,
+                 flat_acc=False, lane_cull=False):
     """Shared nearest/any-hit walk over the tile's visit list.
 
     Layout: everything is transposed so RAYS LIVE ON LANES and TRIANGLES
@@ -663,11 +709,13 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
     refs = list(refs)
     if early_exit:
         # With the tnear prefetch enabled, positional operand 3 is the
-        # per-tile entry-t table and the ray block shifts into refs[0].
+        # per-tile entry-t table; the [2, 3] union-AABB row (scene-exit
+        # settle, _scene_exit_row) follows it, then the ray block.
         tnear_ref = rays_ref
+        bbox_ref = refs.pop(0)
         rays_ref = refs.pop(0)
     else:
-        tnear_ref = None
+        tnear_ref = bbox_ref = None
     if camera is not None and len(camera) > 8 and camera[8]:
         # Chunked camera mode: the launch covers tiles [base, base+n) of
         # the frame's block grid; the global tile index (which the ray
@@ -677,6 +725,9 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
     else:
         base_ref = None
     tmax_ref = refs.pop(0) if per_ray_tmax else None
+    # lane_cull: per-cluster AABB rows (min xyz | max xyz) in SMEM — the
+    # per-visit [1, RT] lane-slab pre-test reads 6 scalars per visit.
+    lcb_ref = refs.pop(0) if lane_cull else None
     tri_ref = refs.pop(0)
     if n_attrs:
         attr_ref, t_ref, i_ref, a_ref = refs
@@ -707,13 +758,17 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
         if camera is not None:
             gtile = tile if base_ref is None else tile + base_ref[0, 0]
             d_cols = _camera_dirs(gtile, rt, offs_ref, camera[:7])
+            o_cols = None  # pinhole at 0 (scene-exit row's convention)
         elif variant == "woop":
             rays8t = rays_ref[:, lo:lo + rt]  # [8, RT]
+            d_cols = tuple(rays8t[k:k + 1, :] for k in (4, 5, 6))
+            o_cols = tuple(rays8t[k:k + 1, :] for k in (0, 1, 2))
         else:
             rows = rays_ref[:, lo:lo + rt]
             d_cols = tuple(rows[k:k + 1, :] for k in (4, 5, 6))
-            if variant != "pmto":  # origin-folded blocks need no o rows
-                o_cols = tuple(rows[k:k + 1, :] for k in (0, 1, 2))
+            # o rows feed the intersectors (except "pmto", whose blocks
+            # fold the origin) and the scene-exit row; unused slices DCE.
+            o_cols = tuple(rows[k:k + 1, :] for k in (0, 1, 2))
         if per_ray_tmax:
             t_lim = tmax_ref[:, lo:lo + rt]  # [1, RT] per-ray bound
         elif nearest:
@@ -795,43 +850,137 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
             return jnp.concatenate([ref[c] for c in cl],
                                    axis=0 if tposed else 1)
 
+        def lane_cull_cond(cl0, visit, acc):
+            """Per-visit lane-slab pre-test: intersect this cluster's
+            AABB (6 SMEM scalars) against the ACTUAL rays as [1, RT]
+            row math (~1/CS of the full intersection's cost) and skip
+            the CS-wide visit when NO lane enters. The tile's visit
+            list is a frustum-hull union — measured on the teapot GI
+            level, only ~34 of ~90 listed clusters are entered by any
+            of the tile's 1024 rays (directions fan within the cone;
+            each ray is a thin line). Bounds are inflated a few ulp so
+            f32 rounding can't cull a razor-edge hit."""
+            tn = None
+            tf = None
+            for k in range(3):
+                dk_ = d_cols[k]
+                ok_ = (o_cols[k] if o_cols is not None
+                       else jnp.zeros((1, rt), jnp.float32))
+                deg = jnp.abs(dk_) < _TINY
+                dsafe = jnp.where(deg, _TINY, dk_)
+                t1 = (lcb_ref[k, cl0] - ok_) / dsafe
+                t2 = (lcb_ref[k + 3, cl0] - ok_) / dsafe
+                lo_ = jnp.where(deg, -INF, jnp.minimum(t1, t2))
+                hi_ = jnp.where(deg, INF, jnp.maximum(t1, t2))
+                tn = lo_ if k == 0 else jnp.maximum(tn, lo_)
+                tf = hi_ if k == 0 else jnp.minimum(tf, hi_)
+            tf = tf + (jnp.abs(tf) * 2e-6 + 1e-7)
+            tn = tn - (jnp.abs(tn) * 2e-6 + 1e-7)
+            enter = jnp.any((tn <= tf) & (tf >= 0.0))
+            return jax.lax.cond(enter, visit, lambda a: a, acc)
+
         if nearest:
             sub_slot = jax.lax.broadcasted_iota(jnp.int32, (ku * cs, 1), 0)
             sub_slot = sub_slot % cs
 
-            def body(j, acc):
-                acc_t, acc_s = acc[0], acc[1]
-                acc_a = acc[2:]
-                cl = clusters_of(j)
-                t = intersect(fused(tri_ref, cl))  # [KU*CS, RT]
-                # packed slot id rows: block kk covers cluster cl[kk]
-                cid = jnp.concatenate(
-                    [jnp.broadcast_to(c * cs, (cs, 1)) for c in cl], axis=0
-                ) if ku > 1 else cl[0] * cs
-                slot = cid + sub_slot  # [KU*CS, 1]
-                better = t < acc_t
-                acc_s = jnp.where(better, slot, acc_s)
-                if n_attrs:
-                    ablk = fused(attr_ref, cl)  # [A, KU*CS] | [KU*CS, A]
-                    acc_a = tuple(
-                        jnp.where(
-                            better,
-                            ablk[:, k:k + 1] if tposed else
-                            jnp.reshape(ablk[k:k + 1, :], (ku * cs, 1)),
-                            acc_a[k],
-                        )
-                        for k in range(n_attrs)
-                    )
-                acc_t = jnp.minimum(acc_t, t)
-                return (acc_t, acc_s) + acc_a
+            if flat_acc:
+                # FLAT accumulators: each visit's [KU*CS, RT] result is
+                # reduced to [1, RT] (min t, min slot among the visit's
+                # min-t sublanes, that slot's attr rows) IMMEDIATELY, so
+                # the loop carries (2 + A) [1, RT] rows instead of
+                # (2 + A) [KU*CS, RT] planes. Rationale (measured, v5e):
+                # the loop-carried planes live in VMEM and are re-read +
+                # re-written every visit — at cs=64 with 4 attr planes
+                # that is ~3 MB/visit, and the GI walk's 111 ms matched
+                # that traffic at VMEM bandwidth, not the intersection
+                # FLOPs (~18 ms). The per-visit sublane reductions cost
+                # ~1 pass each — compute-bound instead of traffic-bound.
+                # Tie rule matches the plane path exactly: global
+                # (min t, then min slot at that t).
+                def body(j, acc):
+                    cl = clusters_of(j)
 
-            acc0 = (
-                jnp.full((ku * cs, rt), INF, dtype=jnp.float32),
-                jnp.full((ku * cs, rt), _BIG_ID, dtype=jnp.int32),
-            ) + tuple(
-                jnp.zeros((ku * cs, rt), dtype=jnp.float32)
-                for _ in range(n_attrs)
-            )
+                    def visit(acc):
+                        acc_t, acc_s = acc[0], acc[1]
+                        acc_a = acc[2:]
+                        t = intersect(fused(tri_ref, cl))  # [KU*CS, RT]
+                        cid = jnp.concatenate(
+                            [jnp.broadcast_to(c * cs, (cs, 1)) for c in cl],
+                            axis=0) if ku > 1 else cl[0] * cs
+                        slot = cid + sub_slot  # [KU*CS, 1]
+                        tmin_v = jnp.min(t, axis=0, keepdims=True)
+                        win = t == tmin_v
+                        slot_v = jnp.min(
+                            jnp.where(win, slot, _BIG_ID), axis=0,
+                            keepdims=True)  # [1, RT]
+                        better = tmin_v < acc_t
+                        # Finite guard: INF == INF must NOT count as a
+                        # tie — a lane that missed both this visit and
+                        # all previous ones would otherwise adopt this
+                        # visit's smallest slot (and its attrs).
+                        eq = (tmin_v == acc_t) & (tmin_v < INF)
+                        upd = better | (eq & (slot_v < acc_s))
+                        acc_s = jnp.where(upd, slot_v, acc_s)
+                        if n_attrs:
+                            win2 = win & (slot == slot_v)
+                            ablk = fused(attr_ref, cl)
+                            for k in range(n_attrs):
+                                rows = (ablk[:, k:k + 1] if tposed else
+                                        jnp.reshape(ablk[k:k + 1, :],
+                                                    (ku * cs, 1)))
+                                a_v = jnp.max(
+                                    jnp.where(win2, rows, -INF), axis=0,
+                                    keepdims=True)
+                                acc_a = acc_a[:k] + (jnp.where(
+                                    upd, a_v, acc_a[k]),) + acc_a[k + 1:]
+                        acc_t = jnp.minimum(acc_t, tmin_v)
+                        return (acc_t, acc_s) + acc_a
+
+                    if lane_cull:
+                        return lane_cull_cond(cl[0], visit, acc)
+                    return visit(acc)
+
+                acc0 = (
+                    jnp.full((1, rt), INF, dtype=jnp.float32),
+                    jnp.full((1, rt), _BIG_ID, dtype=jnp.int32),
+                ) + tuple(
+                    jnp.zeros((1, rt), dtype=jnp.float32)
+                    for _ in range(n_attrs)
+                )
+            else:
+                def body(j, acc):
+                    acc_t, acc_s = acc[0], acc[1]
+                    acc_a = acc[2:]
+                    cl = clusters_of(j)
+                    t = intersect(fused(tri_ref, cl))  # [KU*CS, RT]
+                    # packed slot id rows: block kk covers cluster cl[kk]
+                    cid = jnp.concatenate(
+                        [jnp.broadcast_to(c * cs, (cs, 1)) for c in cl],
+                        axis=0) if ku > 1 else cl[0] * cs
+                    slot = cid + sub_slot  # [KU*CS, 1]
+                    better = t < acc_t
+                    acc_s = jnp.where(better, slot, acc_s)
+                    if n_attrs:
+                        ablk = fused(attr_ref, cl)  # [A,KU*CS] | [KU*CS,A]
+                        acc_a = tuple(
+                            jnp.where(
+                                better,
+                                ablk[:, k:k + 1] if tposed else
+                                jnp.reshape(ablk[k:k + 1, :], (ku * cs, 1)),
+                                acc_a[k],
+                            )
+                            for k in range(n_attrs)
+                        )
+                    acc_t = jnp.minimum(acc_t, t)
+                    return (acc_t, acc_s) + acc_a
+
+                acc0 = (
+                    jnp.full((ku * cs, rt), INF, dtype=jnp.float32),
+                    jnp.full((ku * cs, rt), _BIG_ID, dtype=jnp.int32),
+                ) + tuple(
+                    jnp.zeros((ku * cs, rt), dtype=jnp.float32)
+                    for _ in range(n_attrs)
+                )
             if early_exit:
                 # BATCHED front-to-back early exit for LARGE scenes: the
                 # visit list is entry-t ordered, so once every alive lane's
@@ -848,6 +997,13 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                 # Camera mode: every lane is alive by construction.
                 alive_lane = (None if camera is not None
                               else rays_ref[7:8, lo:lo + rt] != 0.0)
+                # Scene-exit settle: a lane whose ray has LEFT the cluster
+                # set's union AABB can hit nothing further, so for the
+                # exit check it counts as settled at its box-exit t. Sky/
+                # escaping lanes otherwise pin best_t at +inf and block
+                # the exit for their whole tile — the measured reason GI
+                # tiles walked 350-640 of ~790 teapot clusters.
+                exit_row = _scene_exit_row(o_cols, d_cols, bbox_ref, rt)
 
                 def wcond(st):
                     return (st[0] < trips) & jnp.logical_not(st[1])
@@ -858,7 +1014,8 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                     for _ in range(ec):
                         acc = body(j, acc)
                         j = j + 1
-                    per_lane = jnp.min(acc[0], axis=0, keepdims=True)
+                    per_lane = jnp.minimum(
+                        jnp.min(acc[0], axis=0, keepdims=True), exit_row)
                     worst = (jnp.max(per_lane) if alive_lane is None else
                              jnp.max(jnp.where(alive_lane, per_lane, -INF)))
                     nxt = jnp.where(
@@ -873,6 +1030,14 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
             else:
                 acc = jax.lax.fori_loop(0, trips, body, acc0)
             acc_t, acc_s = acc[0], acc[1]
+            if flat_acc:
+                # Already reduced per visit; the accumulators ARE the
+                # outputs (attrs kept their zero init on miss lanes).
+                t_ref[:, lo:lo + rt] = acc_t
+                i_ref[:, lo:lo + rt] = acc_s
+                for k in range(n_attrs):
+                    a_ref[k:k + 1, lo:lo + rt] = acc[2 + k]
+                continue
             tmin = jnp.min(acc_t, axis=0, keepdims=True)  # [1, RT]
             # A clamped (repeated) visit can leave the SAME (t, slot) on
             # two sublane rows; the min over slots still picks a unique
@@ -898,12 +1063,28 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
             # Occlusion: min-accumulate t (misses are +inf, and the t_max
             # cut is already applied inside the intersector) — an f32
             # carry, since Mosaic cannot carry wide i1 vectors through
-            # loops.
-            def body(j, acc_t):
-                return jnp.minimum(acc_t, intersect(fused(tri_ref,
-                                                          clusters_of(j))))
+            # loops. flat_acc: reduce each visit to [1, RT] immediately
+            # (same VMEM-traffic rationale as the nearest branch).
+            if flat_acc:
+                def body(j, acc_t):
+                    cl = clusters_of(j)
 
-            acc_t0 = jnp.full((ku * cs, rt), INF, dtype=jnp.float32)
+                    def visit(acc_t):
+                        t = intersect(fused(tri_ref, cl))
+                        return jnp.minimum(
+                            acc_t, jnp.min(t, axis=0, keepdims=True))
+
+                    if lane_cull:
+                        return lane_cull_cond(cl[0], visit, acc_t)
+                    return visit(acc_t)
+
+                acc_t0 = jnp.full((1, rt), INF, dtype=jnp.float32)
+            else:
+                def body(j, acc_t):
+                    return jnp.minimum(
+                        acc_t, intersect(fused(tri_ref, clusters_of(j))))
+
+                acc_t0 = jnp.full((ku * cs, rt), INF, dtype=jnp.float32)
             acc_t = jax.lax.fori_loop(0, trips, body, acc_t0)
             tmin = jnp.min(acc_t, axis=0, keepdims=True)
             t_ref[:, lo:lo + rt] = tmin
@@ -934,10 +1115,13 @@ def _gstream_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
     with each subtile owning its [CS, RT] column slice."""
     refs = list(refs)
     if early_exit:
+        # Operand order mirrors _walk_kernel: tnear, then the per-GROUP
+        # [2, 3] union-AABB slice (scene-exit settle), then the ray block.
         tnear_ref = rays_ref
+        bbox_ref = refs.pop(0)
         rays_ref = refs.pop(0)
     else:
-        tnear_ref = None
+        tnear_ref = bbox_ref = None
     tmax_ref = refs.pop(0) if per_ray_tmax else None
     tri_ref = refs.pop(0)
     attr_ref = refs.pop(0) if n_attrs else None
@@ -968,11 +1152,12 @@ def _gstream_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
         lo = s * rt
         if variant == "woop":
             rays8t = rays_ref[:, lo:lo + rt]
+            d_cols = tuple(rays8t[k:k + 1, :] for k in (4, 5, 6))
+            o_cols = tuple(rays8t[k:k + 1, :] for k in (0, 1, 2))
         else:
             rows = rays_ref[:, lo:lo + rt]
             d_cols = tuple(rows[k:k + 1, :] for k in (4, 5, 6))
-            if variant != "pmto":
-                o_cols = tuple(rows[k:k + 1, :] for k in (0, 1, 2))
+            o_cols = tuple(rows[k:k + 1, :] for k in (0, 1, 2))
         if per_ray_tmax:
             t_lim = tmax_ref[:, lo:lo + rt]
         elif nearest:
@@ -1043,6 +1228,7 @@ def _gstream_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
             if early_exit:
                 ec = ee_batch if ee_batch else EARLY_EXIT_BATCH
                 alive_lane = rays_ref[7:8, lo:lo + rt] != 0.0
+                exit_row = _scene_exit_row(o_cols, d_cols, bbox_ref, rt)
 
                 def wcond(st):
                     return (st[0] < trips) & jnp.logical_not(st[1])
@@ -1053,7 +1239,8 @@ def _gstream_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                     for _ in range(ec):
                         acc = body(j, acc)
                         j = j + 1
-                    per_lane = jnp.min(acc[0], axis=0, keepdims=True)
+                    per_lane = jnp.minimum(
+                        jnp.min(acc[0], axis=0, keepdims=True), exit_row)
                     worst = jnp.max(jnp.where(alive_lane, per_lane, -INF))
                     nxt = jnp.where(
                         overflow, -INF,
@@ -1162,7 +1349,8 @@ _SMEM_IDS_BUDGET_BYTES = 448 * 1024
 
 def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
                  tmax_row=None, ray_tile=RAY_TILE, subtiles=SUBTILES,
-                 ids_mode="prefetch", tnear=None):
+                 ids_mode="prefetch", tnear=None, bbox=None,
+                 lane_bounds=None):
     """Launch the walk kernel, chunking ray tiles so the SMEM-resident
     visit lists stay inside budget at any ray count (prefetch mode only —
     the sliced modes stream per-step slices and never chunk).
@@ -1182,7 +1370,7 @@ def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
     if n_tiles <= max_tiles:
         return _launch_single(kernel, cnt, ids, rays8, blocks, interpret,
                               n_attrs, tmax_row, ray_tile, subtiles,
-                              ids_mode, tnear)
+                              ids_mode, tnear, bbox, lane_bounds)
     pad_t = (-n_tiles) % max_tiles
     if pad_t:
         cnt = jnp.concatenate([cnt, jnp.zeros(pad_t, cnt.dtype)])
@@ -1223,7 +1411,8 @@ def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
                                                    max_tiles)
         chunks.append(_launch_single(kernel, cnt_j, ids_j, rays_j, blocks,
                                      interpret, n_attrs, tmax_j, ray_tile,
-                                     subtiles, ids_mode, tnear_j))
+                                     subtiles, ids_mode, tnear_j, bbox,
+                                     lane_bounds))
     rp = n_tiles * ray_tile
     return tuple(
         jnp.concatenate([ch[i] for ch in chunks], axis=1)[:, :rp]
@@ -1233,7 +1422,7 @@ def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
 
 def _launch_gstream(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
                     tmax_row=None, ray_tile=RAY_TILE, subtiles=SUBTILES,
-                    tnear=None, nearest=True, cluster_size=16):
+                    tnear=None, nearest=True, cluster_size=16, bbox=None):
     """Launch `_gstream_kernel` over grid (n_steps, n_groups).
 
     cnt: [G, n_tiles] i32; ids/tnear: [G, n_tiles, W]; blocks: tuple of
@@ -1257,6 +1446,10 @@ def _launch_gstream(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
     if tnear is not None:
         in_specs.append(smem((subtiles, w), lambda i, g: (g * n_steps + i, 0)))
         operands.append(tnear.reshape(ng * n_tiles, w))
+        # Per-GROUP union AABB (scene-exit settle): [G, 2, 3] flattened
+        # to [G*2, 3]; block (2, 3) indexed by g.
+        in_specs.append(smem((2, 3), lambda i, g: (g, 0)))
+        operands.append(bbox.reshape(ng * 2, 3))
     in_specs.append(pl.BlockSpec((8, step), lambda i, g: (0, i)))
     operands.append(rays8)
     if tmax_row is not None:
@@ -1298,7 +1491,8 @@ def _launch_gstream(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
 
 def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
                    tmax_row=None, ray_tile=RAY_TILE, subtiles=SUBTILES,
-                   ids_mode="prefetch", tnear=None):
+                   ids_mode="prefetch", tnear=None, bbox=None,
+                 lane_bounds=None):
     rp = rays8.shape[1]
     step = ray_tile * subtiles
     n_steps = rp // step
@@ -1318,7 +1512,8 @@ def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
         operands = (cnt[:, None], ids)
         if tnear is not None:
             in_specs.append(smem((subtiles, w), lambda i, *_: (i, 0)))
-            operands = (cnt[:, None], ids, tnear)
+            in_specs.append(smem((2, 3), lambda i, *_: (0, 0)))
+            operands = (cnt[:, None], ids, tnear, bbox)
     elif ids_mode == "vmem":
         n_prefetch = 1
         in_specs = [pl.BlockSpec((subtiles, w), lambda i, *_: (i, 0))]
@@ -1331,22 +1526,29 @@ def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
             # Mosaic compiler.
             smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
             in_specs.append(smem((subtiles, w), lambda i, *_: (i, 0)))
-            operands = (cnt, ids, tnear)
+            in_specs.append(smem((2, 3), lambda i, *_: (0, 0)))
+            operands = (cnt, ids, tnear, bbox)
     elif tnear is not None:
         n_prefetch = 3
-        in_specs = []
-        operands = (cnt, ids, tnear)
+        smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+        in_specs = [smem((2, 3), lambda i, *_: (0, 0))]
+        operands = (cnt, ids, tnear, bbox)
     else:
         n_prefetch = 2
         in_specs = []
         operands = (cnt, ids)
+    lcb_specs, lcb_ops = [], ()
+    if lane_bounds is not None:
+        lcb = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+        lcb_specs = [lcb(lane_bounds.shape, lambda i, *_: (0, 0))]
+        lcb_ops = (lane_bounds,)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
         grid=(n_steps,),
         in_specs=in_specs + [
             pl.BlockSpec((rows, step), lambda i, *_: (0, i))
             for _, rows in sliced
-        ] + [
+        ] + lcb_specs + [
             pl.BlockSpec(b.shape, lambda i, *_, nd=b.ndim: (0,) * nd)
             for b in blocks
         ],
@@ -1369,7 +1571,7 @@ def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
         # in _walk_groups caps them at _PALLAS_BLOCK_BUDGET_BYTES).
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(*operands, *[a for a, _ in sliced], *blocks)
+    )(*operands, *[a for a, _ in sliced], *lcb_ops, *blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -1449,23 +1651,24 @@ def _shaded_walk(static, verts, normals, colors, materials, o, d, rays8,
     Gradients reach verts (via the re-derived Möller–Trumbore t),
     normals, colors, materials, and the ray origins/directions;
     traversal decisions stay detached (SURVEY.md §7)."""
-    eps, variant, t_cap, early_exit, interpret, has_so, rt = static
+    eps, variant, t_cap, early_exit, interpret, has_so, rt, lc = static
     t_k, slot, attrs_k = nearest_hit_attrs_soa(
         accel, rays8, eps, interpret, variant, t_cap=t_cap,
         early_exit=early_exit,
-        shared_origin=shared_origin if has_so else None, ray_tile=rt)
+        shared_origin=shared_origin if has_so else None, ray_tile=rt,
+        lane_cull=lc)
     hit = jnp.isfinite(t_k)
     return t_k, slot, _objid_expand(accel, attrs_k, hit).T
 
 
 def _shaded_walk_fwd(static, verts, normals, colors, materials, o, d,
                      rays8, tri_v, accel, shared_origin):
-    eps, variant, t_cap, early_exit, interpret, has_so, rt = static
+    eps, variant, t_cap, early_exit, interpret, has_so, rt, lc = static
     t_k, slot, both = nearest_hit_attrs_soa(
         accel, rays8, eps, interpret, variant, t_cap=t_cap,
         early_exit=early_exit,
         shared_origin=shared_origin if has_so else None,
-        attr_kind="both", ray_tile=rt)
+        attr_kind="both", ray_tile=rt, lane_cull=lc)
     a_rows = accel.attr_blocks.shape[1]
     planes = both[a_rows:]          # [11, N] backward grad planes
     hit = jnp.isfinite(t_k)
@@ -1589,9 +1792,16 @@ def _vmem_group_clusters(accel: ClusterAccel, variant: str,
 _CAMERA_BLOCK_BUDGET_BYTES = 106 * 1024 * 1024
 
 
+# lane_cull SMEM cap: the per-cluster AABB rows ([C, 6] f32) must fit
+# SMEM next to the visit lists; above this cluster count the pre-test is
+# disabled (the walk is exact either way).
+_LANE_CULL_MAX_C = 8192
+
+
 def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
                  n_attrs, tmax_row=None, attr_kind="shade",
-                 early_exit=None, shared_origin=None, ray_tile=RAY_TILE):
+                 early_exit=None, shared_origin=None, ray_tile=RAY_TILE,
+                 lane_cull=False):
     """Phase 1-3 over the cluster set, split into VMEM-sized groups when
     the scene's kernel blocks exceed the resident budget (the >VMEM path:
     each group is one ordinary resident-block walk; per-ray results merge
@@ -1651,21 +1861,35 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
                         // (eb * ids.shape[1]) // SUBTILES * SUBTILES)
             if ids.shape[0] > max_t:
                 mode = "smem"
+        flat = _flat_acc_auto(cs, n_attrs)
+        lc = (lane_cull and flat and VISIT_UNROLL == 1
+              and (hi - lo) <= _LANE_CULL_MAX_C)
         kern = functools.partial(
             _walk_kernel, cluster_size=cs, eps=eps, variant=variant,
             nearest=nearest, t_max=t_max, n_attrs=n_attrs,
             unroll=VISIT_UNROLL, per_ray_tmax=tmax_row is not None,
             ray_tile=ray_tile, ids_mode=mode, early_exit=early,
             ee_batch=_ee_batch_for(cs),
+            flat_acc=flat, lane_cull=lc,
         )
         blocks = (all_blocks[lo:hi],)
         if n_attrs:
             blocks = blocks + (all_attrs[lo:hi],)
+        bbox = (jnp.stack([jnp.min(accel.cluster_min[lo:hi], axis=0),
+                           jnp.max(accel.cluster_max[lo:hi], axis=0)])
+                if early else None)
+        # [6, C] rows (min xyz | max xyz): SMEM pads the MINOR dim to
+        # 128, so the bounds must ride transposed (a [C, 6] table pads
+        # 6 -> 128 = 21x its logical size and blows the SMEM budget).
+        lcb = (jnp.concatenate([accel.cluster_min[lo:hi],
+                                accel.cluster_max[lo:hi]], axis=1).T
+               if lc else None)
         out = _launch_walk(kern, cnt, ids, rp, blocks, interpret,
                            n_attrs=n_attrs, tmax_row=tmax_row,
                            ray_tile=ray_tile, subtiles=SUBTILES,
                            ids_mode=mode,
-                           tnear=tnear if early else None)
+                           tnear=tnear if early else None, bbox=bbox,
+                           lane_bounds=lcb)
         if nearest:
             t_g, s_g = out[0], out[1] + lo * cs
             a_g = out[2] if n_attrs else None
@@ -1739,11 +1963,16 @@ def _walk_groups_streamed(accel, rp, eps, interpret, variant, nearest,
         early_exit=early,
         ee_batch=_ee_batch_for(cs),
     )
+    bbox_g = None
+    if early:
+        bbox_g = jnp.stack(
+            [jnp.min(cmin.reshape(ng, gsz, 3), axis=1),
+             jnp.max(cmax.reshape(ng, gsz, 3), axis=1)], axis=1)  # [G,2,3]
     out = _launch_gstream(kern, cnt, ids, rp, blocks, interpret,
                           n_attrs=n_attrs, tmax_row=tmax_row,
                           ray_tile=ray_tile, subtiles=SUBTILES,
                           tnear=tnear if early else None,
-                          nearest=nearest, cluster_size=cs)
+                          nearest=nearest, cluster_size=cs, bbox=bbox_g)
     if nearest:
         return out[0], out[1], out[2] if n_attrs else None
     return out[0], out[1], None
@@ -1923,6 +2152,7 @@ def nearest_hit_attrs_soa(
     shared_origin: jnp.ndarray | None = None,
     attr_kind: str = "shade",
     ray_tile: int = RAY_TILE,
+    lane_cull: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Nearest hit over the SoA ray pack, with the winning triangle's
     shading attributes accumulated IN the kernel (see _walk_kernel). Returns
@@ -1953,7 +2183,8 @@ def nearest_hit_attrs_soa(
                                         attr_kind=attr_kind,
                                         early_exit=early_exit,
                                         shared_origin=shared_origin,
-                                        ray_tile=ray_tile)
+                                        ray_tile=ray_tile,
+                                        lane_cull=lane_cull)
         t_k, slot, attrs = _merge_rest_nearest(accel, rp, t_k, slot, attrs,
                                                eps, n_attrs,
                                                attr_kind=attr_kind)
@@ -1963,7 +2194,7 @@ def nearest_hit_attrs_soa(
                               n_attrs=n_attrs, attr_kind=attr_kind,
                               early_exit=early_exit,
                               shared_origin=shared_origin,
-                              ray_tile=ray_tile)
+                              ray_tile=ray_tile, lane_cull=lane_cull)
     t1, s1, a1 = _merge_rest_nearest(accel, rp, t1, s1, a1, eps, n_attrs,
                                      attr_kind=attr_kind)
     done = t1 < t_cap  # [1, rp]; rest hits beyond cap do NOT settle a ray
@@ -1974,7 +2205,7 @@ def nearest_hit_attrs_soa(
                               n_attrs=n_attrs, attr_kind=attr_kind,
                               early_exit=early_exit,
                               shared_origin=shared_origin,
-                              ray_tile=ray_tile)
+                              ray_tile=ray_tile, lane_cull=lane_cull)
     # Survivors may still be beaten by their (full-range) rest candidate
     # already merged into pass 1: keep the elementwise nearest of both.
     better2 = t2 < t1
@@ -1992,6 +2223,7 @@ def any_hit_soa(
     interpret: bool | None = None,
     variant: str = DEFAULT_VARIANT,
     ray_tile: int = RAY_TILE,
+    lane_cull: bool = False,
 ) -> jnp.ndarray:
     """Raw kernel occlusion query over the SoA ray pack [8, N]. t_max may
     be a python float (uniform bound) or a [N] array (per-ray bound — the
@@ -2018,7 +2250,8 @@ def any_hit_soa(
     rp, r = _pad_rays_soa(rays8, ray_tile)
     _, occ, _ = _walk_groups(accel, rp, eps, interpret, variant,
                              nearest=False, t_max=t_max, n_attrs=0,
-                             tmax_row=tmax_row, ray_tile=ray_tile)
+                             tmax_row=tmax_row, ray_tile=ray_tile,
+                             lane_cull=lane_cull)
     occ_b = occ[0] != 0
     occ_b = _merge_rest_occlusion(
         accel, rp, occ_b, eps, t_max,
@@ -2094,7 +2327,8 @@ def _camera_dir_rows_xla(n, offs, w, h, spp, scale, aspect, bh, bw,
 
 def _launch_camera(kern, cnt, ids, offs, blocks, interpret, n_attrs=0,
                    subtiles=SUBTILES, tnear=None, n_tiles=None,
-                   ray_tile=RAY_TILE, tile_base=None):
+                   ray_tile=RAY_TILE, tile_base=None, bbox=None,
+                   lane_bounds=None):
     """One-launch camera-mode walk: visit lists stream per grid step as
     SMEM slices (the "smem" ids mode — no whole-array SMEM residency, so
     no chunked launches at any tile count); the only tensor operands are
@@ -2112,12 +2346,17 @@ def _launch_camera(kern, cnt, ids, offs, blocks, interpret, n_attrs=0,
     if tnear is not None:
         in_specs.append(smem((subtiles, w), lambda i, *_: (i, 0)))
         operands.append(tnear)
+        in_specs.append(smem((2, 3), lambda i, *_: (0, 0)))
+        operands.append(bbox)
     in_specs.append(smem(offs.shape, lambda i, *_: (0, 0)))
     operands.append(offs)
     if tile_base is not None:
         in_specs.append(smem((1, 1), lambda i, *_: (0, 0)))
         operands.append(
             jnp.reshape(jnp.asarray(tile_base, jnp.int32), (1, 1)))
+    if lane_bounds is not None:
+        in_specs.append(smem(lane_bounds.shape, lambda i, *_: (0, 0)))
+        operands.append(lane_bounds)
     for b in blocks:
         in_specs.append(pl.BlockSpec(
             b.shape, lambda i, *_, nd=b.ndim: (0,) * nd))
@@ -2161,6 +2400,7 @@ def nearest_hit_camera_soa(
     early_exit: bool | None = None,
     tile_base=None,
     tiles: int | None = None,
+    lane_cull: bool = False,
 ):
     """Primary nearest hit with rays derived IN KERNEL from the pinhole
     camera formula (camera mode) — the TPU-native sibling of the
@@ -2368,17 +2608,29 @@ def nearest_hit_camera_soa(
         tnear = jnp.concatenate(
             [tnear, jnp.full((pad_t, tnear.shape[1]), INF, tnear.dtype)])
     camera = (width, height, spp, scale, aspect, bh, bw, subtiles, chunked)
+    # Camera mode's ids ride as small per-step SMEM slices, so the SMEM
+    # headroom for the lane-cull bounds table is ~2x the pack path's.
+    lc = (lane_cull and c_total <= 2 * _LANE_CULL_MAX_C
+          and _flat_acc_auto(accel.cluster_size, n_attrs))
     kern = functools.partial(
         _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
         variant="pmto", nearest=True, t_max=float("inf"),
         n_attrs=n_attrs, unroll=1, per_ray_tmax=False, ray_tile=rt,
         ids_mode="smem", early_exit=early, camera=camera,
-        ee_batch=_ee_batch_for(accel.cluster_size))
+        ee_batch=_ee_batch_for(accel.cluster_size),
+        flat_acc=_flat_acc_auto(accel.cluster_size, n_attrs),
+        lane_cull=lc)
+    bbox_c = (jnp.stack([jnp.min(accel.cluster_min, axis=0),
+                         jnp.max(accel.cluster_max, axis=0)])
+              if early else None)
+    lcb = (jnp.concatenate([accel.cluster_min, accel.cluster_max],
+                           axis=1).T if lc else None)
     out = _launch_camera(kern, cnt, ids, offs, blocks, interpret,
                          n_attrs=n_attrs, subtiles=subtiles,
                          tnear=tnear if early else None,
                          n_tiles=n_tiles + pad_t, ray_tile=rt,
-                         tile_base=tile_base if chunked else None)
+                         tile_base=tile_base if chunked else None,
+                         bbox=bbox_c, lane_bounds=lcb)
     t = out[0][:, :n]
     slot = out[1][:, :n]
     attrs = out[2][:, :n] if n_attrs else None
@@ -2480,6 +2732,7 @@ def nearest_hit_shaded(
     early_exit: bool | None = None,
     shared_origin: jnp.ndarray | None = None,
     ray_tile: int = RAY_TILE,
+    lane_cull: bool = False,
 ) -> Tuple[Hit, jnp.ndarray]:
     """The renderer's gather-free fast path: nearest hit + the winning
     triangle's shading attributes straight out of the kernel. Returns
@@ -2499,7 +2752,7 @@ def nearest_hit_shaded(
     sg = jax.lax.stop_gradient
     rays8 = rays_to_soa(sg(o), sg(d), alive=alive)
     static = (eps, variant, t_cap, early_exit, interpret,
-              shared_origin is not None, ray_tile)
+              shared_origin is not None, ray_tile, lane_cull)
     so = (sg(shared_origin) if shared_origin is not None
           else jnp.zeros(3, o.dtype))
     t, slot, attrs = _shaded_walk(
@@ -2522,8 +2775,9 @@ def any_hit_pallas(
     variant: str = DEFAULT_VARIANT,
     alive: jnp.ndarray | None = None,
     ray_tile: int = RAY_TILE,
+    lane_cull: bool = False,
 ) -> jnp.ndarray:
     sg = jax.lax.stop_gradient
     rays8 = rays_to_soa(sg(o), sg(d), alive=alive)
     return any_hit_soa(accel, rays8, eps, t_max, interpret, variant,
-                       ray_tile=ray_tile)
+                       ray_tile=ray_tile, lane_cull=lane_cull)

@@ -87,6 +87,7 @@ def shade(
     attrs: Optional[jnp.ndarray] = None,
     bin_shadow: Optional[bool] = None,
     ray_tile: Optional[int] = None,
+    lane_cull: bool = False,
 ) -> Shaded:
     """Direct lighting at hit points, incl. the shadow (any-hit) query —
     the reference's main.rs:176-241 in batch form.
@@ -140,11 +141,12 @@ def shade(
         sidx, (pos_s, alive_s) = bin_sort(k, pos, sh_alive)
         dir_s = normalize(sun - pos_s, eps=1e-20)
         occ_s = any_hit(mesh, accel, pos_s, dir_s, config, alive=alive_s,
-                        ray_tile=ray_tile)
+                        ray_tile=ray_tile, lane_cull=lane_cull)
         (occluded,) = unsort(sidx, occ_s)
     else:
         occluded = any_hit(mesh, accel, pos, sun_dir, config,
-                           alive=sh_alive, ray_tile=ray_tile)
+                           alive=sh_alive, ray_tile=ray_tile,
+                           lane_cull=lane_cull)
     lit = hit.hit & facing & ~occluded
     direct = jnp.where(
         lit[:, None], color * (ndl * albedo_pi)[:, None], 0.0
@@ -162,6 +164,7 @@ def area_light_term(
     key: jax.Array,
     config: RenderConfig,
     ray_tile: Optional[int] = None,
+    lane_cull: bool = False,
 ) -> jnp.ndarray:
     """Soft-shadowed direct radiance from spherical area lights [N, 3] —
     the feature the reference stubbed out (`lights: Vec::new(), // TODO`,
@@ -210,7 +213,7 @@ def area_light_term(
             t_stop = t_light * (1.0 - 1e-4)
             occluded = any_hit(mesh, accel, pos, w_dir, config,
                                t_max=t_stop, alive=alive,
-                               ray_tile=ray_tile)
+                               ray_tile=ray_tile, lane_cull=lane_cull)
             vis = alive & ~occluded
             acc = acc + jnp.where(vis, jnp.maximum(ndl, 0.0), 0.0)
         radiance = (acc / config.light_samples * omega)[:, None] * em[None, :]
@@ -250,6 +253,7 @@ def render_rays(
     max_depth = max(config.reflect_depth, config.diffuse_depth)
     s = config.diffuse_scatter
     rt_gi = config.gi_ray_tile or None
+    lc_gi = config.gi_lane_cull
     sky = jnp.asarray(config.sky_color, dtype=o.dtype)
     bin_sh = (config.bin_shadow if isinstance(config.bin_shadow, bool)
               else gi_accel is None)  # "auto" (see RenderConfig)
@@ -317,16 +321,19 @@ def render_rays(
                 # Primaries share the pinhole origin; bounce levels don't.
                 shared_origin=(o_l[0] if depth == 1
                                and config.primary_shared_origin else None),
-                ray_tile=rt_gi if depth > 1 else None)
+                ray_tile=rt_gi if depth > 1 else None,
+                lane_cull=lc_gi and depth > 1)
         sh = shade(mesh, acc_l, sun, o_l, d_l, h, config, attrs=attrs,
                    bin_shadow=bin_sh,
-                   ray_tile=rt_gi if depth > 1 else None)
+                   ray_tile=rt_gi if depth > 1 else None,
+                   lane_cull=lc_gi and depth > 1)
         direct = sh.direct
         if lights is not None:
             kl = jax.random.fold_in(key, 7777 + depth)
             area = area_light_term(mesh, acc_l, lights, sh, h.hit, kl,
                                    config,
-                                   ray_tile=rt_gi if depth > 1 else None)
+                                   ray_tile=rt_gi if depth > 1 else None,
+                                   lane_cull=lc_gi and depth > 1)
             direct = direct + jnp.where(h.hit[:, None], area, 0.0)
         has_r = depth < config.reflect_depth
         has_d = depth < config.diffuse_depth

@@ -64,6 +64,7 @@ def nearest_hit_shaded(
     early_exit: Optional[bool] = None,
     shared_origin: Optional[jnp.ndarray] = None,
     ray_tile: Optional[int] = None,
+    lane_cull: bool = False,
 ):
     """Nearest hit plus (on the pallas backend) the winning triangle's
     shading attributes accumulated inside the kernel — the gather-free hot
@@ -83,7 +84,8 @@ def nearest_hit_shaded(
         return _shaded(mesh, accel, o, d, config.eps, alive=alive,
                        t_cap=t_cap, early_exit=early_exit,
                        shared_origin=shared_origin,
-                       ray_tile=ray_tile or RAY_TILE)
+                       ray_tile=ray_tile or RAY_TILE,
+                       lane_cull=lane_cull)
     return nearest_hit(mesh, accel, o, d, config, alive=alive), None
 
 
@@ -96,6 +98,7 @@ def any_hit(
     t_max=INF,
     alive: Optional[jnp.ndarray] = None,
     ray_tile: Optional[int] = None,
+    lane_cull: bool = False,
 ) -> jnp.ndarray:
     if config.backend == "bruteforce" or accel is None:
         tri = triangle_soa(mesh.verts, mesh.tri_v)
@@ -106,5 +109,6 @@ def any_hit(
         from raytracing_tpu.kernels.traverse import RAY_TILE, any_hit_pallas
 
         return any_hit_pallas(mesh, accel, o, d, config.eps, t_max,
-                              alive=alive, ray_tile=ray_tile or RAY_TILE)
+                              alive=alive, ray_tile=ray_tile or RAY_TILE,
+                              lane_cull=lane_cull)
     raise ValueError(f"unknown backend {config.backend!r}")
