@@ -47,6 +47,13 @@ class PathTracerConfig:
     # Probability of taking the mirror branch when both branches are live;
     # importance-sampled per material below.
     min_branch_prob: float = 0.05
+    # Re-bin the path state every k-th bounce (1 = every bounce). The
+    # variadic state sort (15 columns) is ~40% of a bounce step; at 2,
+    # odd bounces trace in the previous bounce's frame — origins stay
+    # patch-coherent (they are the sorted parents' hit points) and the
+    # per-visit lane cull absorbs the wider direction cones. Exact for
+    # any value (binning is permutation bookkeeping).
+    bin_every: int = 1
 
 
 def trace_paths(
@@ -81,7 +88,7 @@ def trace_paths(
 
     for bounce in range(pt.max_bounces):
         acc_l = gi_accel if (bounce > 0 and gi_accel is not None) else accel
-        if bounce > 0 and binning:
+        if bounce > 0 and binning and (bounce - 1) % pt.bin_every == 0:
             # Re-bin the whole per-path state by (coarse origin cell, fine
             # direction cone) — same GI regime as the Whitted bounce
             # levels; the orig column restores pixel order at the end.
@@ -97,8 +104,13 @@ def trace_paths(
             early_exit=(True if bounce > 0 and config.gi_early_exit
                         else None),
             shared_origin=(o[0] if bounce == 0
-                           and config.primary_shared_origin else None))
-        sh = shade(mesh, acc_l, sun, o, d, h, config, attrs=attrs)
+                           and config.primary_shared_origin else None),
+            ray_tile=(config.gi_ray_tile or None) if bounce > 0 else None,
+            lane_cull=config.gi_lane_cull and bounce > 0)
+        sh = shade(mesh, acc_l, sun, o, d, h, config, attrs=attrs,
+                   ray_tile=(config.gi_ray_tile or None) if bounce > 0
+                   else None,
+                   lane_cull=config.gi_lane_cull and bounce > 0)
         hit = h.hit & alive
         # Miss -> sky, path ends.
         radiance = radiance + jnp.where(
@@ -165,6 +177,10 @@ def render(
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if gi_accel is None:
+        from raytracing_tpu.models.whitted import _auto_gi_accel
+
+        gi_accel = _auto_gi_accel(scene.mesh, accel, config)
     cam_cfg = config.replace(samples_per_pixel=1)
     h, w = config.height, config.width
     r = h * w
