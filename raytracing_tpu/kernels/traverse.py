@@ -382,6 +382,104 @@ def _visit_lists_single(o_lo, o_hi, d_lo, d_hi, cluster_min,
     return ids.astype(jnp.int32), -neg, cnt
 
 
+def _per_ray_refine(rp, ids, tnear, cnt, cluster_min, cluster_max,
+                    ray_tile, c_total):
+    """Phase 2.5: refine each tile's frustum-hull visit list to the
+    clusters ANY of its actual (alive) rays enters — dense XLA, no
+    per-visit control flow. A GI tile's interval frustum genuinely
+    overlaps ~90 of 198 clusters while its 1024 sampled rays enter only
+    ~34 (directions fan within the cone; each ray is a thin line), and
+    no frustum refinement recovers that (64-ray sub-frustums still flag
+    ~90 — measured, exp/NOTES_r4_gi.md). The in-kernel lax.cond variant
+    of this test costs ~2 us/visit in Mosaic (slower than the visits it
+    skips); here the same slab math runs as one fused [tiles, W, RT]
+    elementwise pass (~2e9 flops at GI scale), then a packed
+    (quantized-entry-t | id) top_k restores front-to-back order.
+
+    Exactness: a candidate is kept iff >= 1 alive lane's slab test
+    passes, with the bounds inflated a few ulp (same guard as the
+    kernel's intersectors can't accept a hit outside its cluster's
+    inflated slab interval). Quantizing entry-t truncates mantissa low
+    bits — still a valid LOWER bound, so the walk's early exit stays
+    exact. Tiles whose original cnt exceeded the list width keep their
+    overflow marker (the kernel full-scans them).
+
+    Returns (ids2, tnear2, cnt2) with the same shapes/contract as
+    `_visit_lists_from_extents`."""
+    nt, w = ids.shape
+    rt = ray_tile
+    o_rows = rp[0:3].reshape(3, nt, 1, rt)
+    d_rows = rp[4:7].reshape(3, nt, 1, rt)
+    alive = (rp[7].reshape(nt, 1, rt) != 0.0)
+    cm = jnp.take(cluster_min, ids.reshape(-1), axis=0).reshape(nt, w, 3)
+    cx = jnp.take(cluster_max, ids.reshape(-1), axis=0).reshape(nt, w, 3)
+
+    # Chunk tiles through lax.map so the [bt, W, RT] broadcasts stay
+    # inside a VMEM-friendly footprint at any tile count.
+    bt = max(1, min(nt, (1 << 22) // (w * rt) or 1))
+    nb = -(-nt // bt)
+    pad_t = nb * bt - nt
+    if pad_t:
+        z3 = jnp.zeros((3, pad_t, 1, rt), rp.dtype)
+        o_rows = jnp.concatenate([o_rows, z3], axis=1)
+        d_rows = jnp.concatenate([d_rows, z3], axis=1)
+        alive = jnp.concatenate(
+            [alive, jnp.zeros((pad_t, 1, rt), bool)], axis=0)
+        cm = jnp.concatenate([cm, jnp.zeros((pad_t, w, 3))], axis=0)
+        cx = jnp.concatenate([cx, jnp.zeros((pad_t, w, 3))], axis=0)
+
+    def block(args):
+        ob, db, ab, cmb, cxb = args
+        tn = None
+        tf = None
+        for k in range(3):
+            dk = db[k]  # [bt, 1, RT]
+            ok_ = ob[k]
+            deg = jnp.abs(dk) < _TINY
+            dsafe = jnp.where(deg, _TINY, dk)
+            t1 = (cmb[:, :, k:k + 1] - ok_) / dsafe  # [bt, W, RT]
+            t2 = (cxb[:, :, k:k + 1] - ok_) / dsafe
+            lo_ = jnp.where(deg, -INF, jnp.minimum(t1, t2))
+            hi_ = jnp.where(deg, INF, jnp.maximum(t1, t2))
+            tn = lo_ if k == 0 else jnp.maximum(tn, lo_)
+            tf = hi_ if k == 0 else jnp.minimum(tf, hi_)
+        tf = tf + (jnp.abs(tf) * 2e-6 + 1e-7)
+        tn = tn - (jnp.abs(tn) * 2e-6 + 1e-7)
+        return jnp.any((tn <= tf) & (tf >= 0.0) & ab, axis=2)  # [bt, W]
+
+    hit_any = jax.lax.map(
+        block,
+        (o_rows.reshape(3, nb, bt, 1, rt).transpose(1, 0, 2, 3, 4),
+         d_rows.reshape(3, nb, bt, 1, rt).transpose(1, 0, 2, 3, 4),
+         alive.reshape(nb, bt, 1, rt),
+         cm.reshape(nb, bt, w, 3),
+         cx.reshape(nb, bt, w, 3)),
+    ).reshape(nb * bt, w)[:nt]
+
+    # Candidate j is live iff inside the original list AND some lane
+    # enters it. (Positions past cnt carry top_k tail garbage ids.)
+    in_list = (jax.lax.broadcasted_iota(jnp.int32, (nt, w), 1)
+               < jnp.minimum(cnt, w)[:, None])
+    keep = hit_any & in_list
+    # Packed (quantized entry-t | id) selection — same trick as the
+    # camera supertile refine: one top_k yields compacted ids AND keeps
+    # the front-to-back order the early exit relies on.
+    idbits = max(1, (c_total - 1).bit_length())
+    mask_lo = (1 << idbits) - 1
+    keys = jnp.where(keep, jnp.clip(tnear, 0.0, 3e38), INF)
+    bits = jax.lax.bitcast_convert_type(keys, jnp.int32)
+    packed = (bits & ~mask_lo) | ids
+    negp, _ = jax.lax.top_k(-packed, w)
+    packed_s = -negp
+    ids2 = packed_s & mask_lo
+    tnear2 = jax.lax.bitcast_convert_type(packed_s & ~mask_lo, jnp.float32)
+    cnt2 = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    # Overflow tiles (cnt > width): the original list was already
+    # incomplete — preserve the overflow so the kernel full-scans.
+    cnt2 = jnp.where(cnt > w, cnt, cnt2)
+    return ids2.astype(jnp.int32), tnear2, cnt2
+
+
 # ---------------------------------------------------------------------------
 # Phase 3: the walk kernel
 # ---------------------------------------------------------------------------
@@ -1796,6 +1894,20 @@ _CAMERA_BLOCK_BUDGET_BYTES = 106 * 1024 * 1024
 # SMEM next to the visit lists; above this cluster count the pre-test is
 # disabled (the walk is exact either way).
 _LANE_CULL_MAX_C = 8192
+# How lane culling runs: "kernel" (default) — the per-visit lax.cond
+# pre-test inside the walk; "refine" — phase 2.5 dense XLA per-ray list
+# refinement (_per_ray_refine, no in-kernel control flow; exact and
+# uncapped in C, but its [tiles, W, RT] pass costs real HBM traffic
+# in-context: the full frame measured 1.88 s kernel vs 2.28 s refine
+# even though the two tie in isolated walk timings). The kernel mode is
+# SMEM-capped at _LANE_CULL_MAX_C clusters; beyond that lane culling
+# silently disables (exact either way).
+_LANE_CULL_MODE = "kernel"
+# DIAGNOSTIC ONLY (exp/ harnesses): inverted lane-cull bounds make every
+# visit skip, timing the walk's loop + slab + cond floor with zero
+# intersections. Results are garbage (all-miss); never set in library
+# code.
+_LANE_CULL_FORCE_SKIP = False
 
 
 def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
@@ -1849,9 +1961,17 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
         early = (nearest and tmax_row is None
                  and ((hi - lo) > _EARLY_EXIT_MIN_CLUSTERS
                       if early_exit is None else bool(early_exit)))
+        flat = _flat_acc_auto(cs, n_attrs)
+        refine = lane_cull and _LANE_CULL_MODE == "refine"
+        lc = (lane_cull and not refine and flat and VISIT_UNROLL == 1
+              and (hi - lo) <= _LANE_CULL_MAX_C)
         ids, tnear, cnt = _tile_visit_lists_soa(
             rp, accel.cluster_min[lo:hi], accel.cluster_max[lo:hi],
             ray_tile, interpret=interpret, t_cap=t_cap)
+        if refine:
+            ids, tnear, cnt = _per_ray_refine(
+                rp, ids, tnear, cnt, accel.cluster_min[lo:hi],
+                accel.cluster_max[lo:hi], ray_tile, hi - lo)
         # Wide lists (large scenes) would force chunked prefetch-mode
         # launches; stream the lists per grid step instead (one launch).
         mode = IDS_MODE
@@ -1861,9 +1981,6 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
                         // (eb * ids.shape[1]) // SUBTILES * SUBTILES)
             if ids.shape[0] > max_t:
                 mode = "smem"
-        flat = _flat_acc_auto(cs, n_attrs)
-        lc = (lane_cull and flat and VISIT_UNROLL == 1
-              and (hi - lo) <= _LANE_CULL_MAX_C)
         kern = functools.partial(
             _walk_kernel, cluster_size=cs, eps=eps, variant=variant,
             nearest=nearest, t_max=t_max, n_attrs=n_attrs,
@@ -1884,6 +2001,10 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
         lcb = (jnp.concatenate([accel.cluster_min[lo:hi],
                                 accel.cluster_max[lo:hi]], axis=1).T
                if lc else None)
+        if lc and _LANE_CULL_FORCE_SKIP:
+            lcb = jnp.concatenate(
+                [jnp.full((3, hi - lo), 3e38, jnp.float32),
+                 jnp.full((3, hi - lo), -3e38, jnp.float32)])
         out = _launch_walk(kern, cnt, ids, rp, blocks, interpret,
                            n_attrs=n_attrs, tmax_row=tmax_row,
                            ray_tile=ray_tile, subtiles=SUBTILES,
