@@ -362,10 +362,20 @@ def main():
     accel = build_cluster_accel(scene.mesh, cluster_size=16)
 
     if args.only_frame:
+        # Refresh mode: MERGE the re-measured frame records into an
+        # existing artifact instead of clobbering its other records.
+        existing = []
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                existing = json.load(f)
+        OUT_PATH = None  # no incremental clobber; old artifact survives a crash
         bench_frame(scene, cfg, accel)
+        fresh = {r["metric"]: r for r in RECORDS}
+        merged = [fresh.pop(r["metric"], r) for r in existing]
+        merged += list(fresh.values())
         with open(args.out, "w") as f:
-            json.dump(RECORDS, f, indent=1)
-        print(f"# wrote {args.out} ({len(RECORDS)} records)", flush=True)
+            json.dump(merged, f, indent=1)
+        print(f"# wrote {args.out} ({len(merged)} records)", flush=True)
         return
 
     # 1. headline primary rays/s (bench.py's measurement, EMITTED into
