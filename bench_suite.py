@@ -200,9 +200,11 @@ def bench_frame(scene, cfg, accel, iters=2):
     """Full reference frame (800x800x4spp Whitted), default config and the
     tuned fast path. Since round 4 the default config already carries the
     measured winners (auto 64-tri-cluster gi_accel for bounce levels,
-    gi_lane_cull per-visit skipping, flat accumulators); tuned adds
+    gi_lane_cull per-visit skipping, flat accumulators); "tuned" pins
     camera-mode primaries (primary_shared_origin), 128Ki chunks and the
-    shadow re-sort off — each measured neutral-to-slightly-better on v5e."""
+    shadow re-sort off — measured WITHIN NOISE of the default on v5e
+    (committed records show it 0.5-1.5% slower some runs); it is kept
+    as the explicitly-pinned configuration, not a claimed speedup."""
 
     def time_frame(c, **kw):
         img = jax.block_until_ready(render(scene, c, accel=accel, **kw))

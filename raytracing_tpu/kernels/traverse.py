@@ -743,6 +743,13 @@ def _camera_dirs(tile, rt, offs_ref, camera):
     camera_rays exactly, so derived directions are bitwise identical to
     the materialized pack's."""
     w, h, spp, scale, aspect, bh, bw = camera
+    # Clamp to the frame's block grid: a chunked launch whose last chunk
+    # overruns the frame derives the LAST block's rays for the padding
+    # tiles — mirroring block_ray_ids' clamp of pack-path ray ids, so
+    # padding rows stay cheap (tiny repeated lists) and consistent with
+    # the materialized (o, d) the caller shades with (rows >= frame size
+    # are dropped either way).
+    tile = jnp.minimum(tile, (w // bw) * (h // bh) - 1)
     p2 = bh * bw
     l = jax.lax.broadcasted_iota(jnp.int32, (1, rt), 1)
     s_idx = l // p2
@@ -832,6 +839,11 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
     else:
         (t_ref, i_ref) = refs
         attr_ref = a_ref = None
+    if lane_cull and unroll != 1:
+        raise ValueError(
+            "lane_cull pre-tests one cluster AABB per visit; a fused "
+            "(unroll > 1) visit would be skipped on cluster 0's test "
+            "alone and silently drop hits in the others")
     rt = ray_tile
     if camera is not None:
         # Camera mode: the "rays" operand slot holds the tiny [spp, 2]
@@ -993,8 +1005,15 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                 # that traffic at VMEM bandwidth, not the intersection
                 # FLOPs (~18 ms). The per-visit sublane reductions cost
                 # ~1 pass each — compute-bound instead of traffic-bound.
-                # Tie rule matches the plane path exactly: global
-                # (min t, then min slot at that t).
+                # Tie rule: global (min t, then min slot at that t) —
+                # the documented contract, and what the index-order
+                # cluster/bruteforce oracles produce. (The plane path
+                # has one divergent corner: an equal-t candidate landing
+                # on a sublane row that already holds that t from an
+                # EARLIER visit is dropped by its strict per-row update,
+                # keeping the earlier slot even if larger. Flat mode
+                # resolves such ties to the min slot, i.e. the oracle's
+                # answer.)
                 def body(j, acc):
                     cl = clusters_of(j)
 
@@ -2395,7 +2414,9 @@ def _camera_tile_extents(n_tiles, offs, w, h, spp, scale, aspect, bh, bw,
     a materialized pack would produce. Returns (o_lo, o_hi, d_lo, d_hi)
     [nt, 3] — origins are the pinhole at 0."""
     nbx = w // bw
-    tt = tile0 + jnp.arange(n_tiles, dtype=jnp.int32)
+    tt = jnp.minimum(tile0 + jnp.arange(n_tiles, dtype=jnp.int32),
+                     nbx * (h // bh) - 1)  # chunk overrun clamps (see
+    # _camera_dirs) so padding tiles repeat the last block's frustum
     br = tt // nbx
     bc = tt % nbx
     ox_min, ox_max = jnp.min(offs[:, 0]), jnp.max(offs[:, 0])
@@ -2421,11 +2442,15 @@ def _camera_dir_rows_xla(n, offs, w, h, spp, scale, aspect, bh, bw,
     producer is pure iota math, so XLA fuses it into its consumer (the
     rest-set pass) without materializing a pack. Returns (dx, dy, dz)
     [1, n] rows, bitwise equal to the block-permuted camera_rays pack.
-    ray_base (traced ok): first block-order ray id of a chunked launch."""
+    ray_base (traced ok): first block-order ray id of a chunked launch;
+    BLOCK indices past the frame's grid clamp to the last block with the
+    in-block lane preserved — the same clamp `_camera_dirs` applies in
+    the kernel, so a chunk's overrun rows repeat the last block's walk
+    exactly. (Production drops rows past the frame either way.)"""
     l = ray_base + jnp.arange(n, dtype=jnp.int32)[None, :]
     p2 = bh * bw
     run = spp * p2
-    b = l // run
+    b = jnp.minimum(l // run, (w // bw) * (h // bh) - 1)
     r = l % run
     s_idx = r // p2
     p = r % p2

@@ -47,12 +47,13 @@ class PathTracerConfig:
     # Probability of taking the mirror branch when both branches are live;
     # importance-sampled per material below.
     min_branch_prob: float = 0.05
-    # Re-bin the path state every k-th bounce (1 = every bounce). The
-    # variadic state sort (15 columns) is ~40% of a bounce step; at 2,
-    # odd bounces trace in the previous bounce's frame — origins stay
-    # patch-coherent (they are the sorted parents' hit points) and the
-    # per-visit lane cull absorbs the wider direction cones. Exact for
-    # any value (binning is permutation bookkeeping).
+    # Re-bin the path state every k-th bounce (1 = every bounce). At 2,
+    # odd bounces trace in the previous bounce's frame. NOTE: values
+    # != 1 change which position-indexed RNG draw each path receives,
+    # so images differ sample-by-sample (statistically equivalent
+    # estimator, not bit-equal). Measured on v5e: 1 is also FASTER
+    # (6.7 s vs 10.6 s at 2 — unsorted bounce walks cost more than the
+    # sorts they save), so this knob exists to document that result.
     bin_every: int = 1
 
 

@@ -367,6 +367,72 @@ def test_camera_mode_matches_pack_path():
     np.testing.assert_allclose(t1s[hit2], t2n[hit2], rtol=1e-5)
 
 
+def test_lane_cull_modes_parity(monkeypatch):
+    """Both lane-cull modes (in-kernel cond pre-test, phase-2.5 dense
+    refine) must reproduce the uncull walk exactly on alive lanes — the
+    pre-test only skips clusters no lane enters."""
+    import raytracing_tpu.kernels.traverse as T
+    from raytracing_tpu.geometry.scene import build_default_scene
+
+    rng = np.random.default_rng(7)
+    n = 2048
+    # Incoherent bounce-like rays: origins near the scene, random dirs.
+    o = jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+                    + np.array([1, -2, 7], np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    alive = jnp.asarray(rng.uniform(size=n) > 0.1)
+    scene = build_default_scene(t=0.0)
+    accel = build_cluster_accel(scene.mesh, cluster_size=16)
+    rays8 = T.rays_to_soa(o, d, alive=alive)
+
+    outs = {}
+    for tag, lc, mode in (("off", False, "kernel"),
+                          ("kernel", True, "kernel"),
+                          ("refine", True, "refine")):
+        monkeypatch.setattr(T, "_LANE_CULL_MODE", mode)
+        t, slot, attrs = T.nearest_hit_attrs_soa(
+            accel, rays8, interpret=True, early_exit=True, lane_cull=lc)
+        outs[tag] = (np.asarray(t), np.asarray(slot), np.asarray(attrs))
+    al = np.asarray(alive)
+    for tag in ("kernel", "refine"):
+        np.testing.assert_array_equal(outs["off"][0][al], outs[tag][0][al])
+        np.testing.assert_array_equal(outs["off"][1][al], outs[tag][1][al])
+        np.testing.assert_array_equal(outs["off"][2][:, al],
+                                      outs[tag][2][:, al])
+    assert np.isfinite(outs["off"][0][al]).any()
+
+
+def test_camera_mode_chunk_overrun_clamps():
+    """A chunked camera launch overrunning the frame's block grid clamps
+    padding tiles/rays to the last block (mirroring block_ray_ids):
+    in-frame rows match the full-frame walk, overrun rows are finite."""
+    from raytracing_tpu.geometry.scene import build_default_scene
+    from raytracing_tpu.kernels.traverse import nearest_hit_camera_soa
+    from raytracing_tpu.ops.sampling import stratified_offsets
+
+    w = h = 48
+    spp = 4
+    rt = spp * 16 * 16
+    nt = (w // 16) * (h // 16)
+    scene = build_default_scene(t=0.0)
+    accel = build_cluster_accel(scene.mesh, cluster_size=16)
+    offs = stratified_offsets(spp)
+    t_full, s_full = nearest_hit_camera_soa(
+        accel, offs, width=w, height=h, spp=spp, interpret=True)
+    base, tiles = nt - 2, 4  # 2 real + 2 overrun tiles
+    t_c, s_c = nearest_hit_camera_soa(
+        accel, offs, width=w, height=h, spp=spp, interpret=True,
+        tile_base=jnp.int32(base), tiles=tiles)
+    t_c, s_c = np.asarray(t_c), np.asarray(s_c)
+    np.testing.assert_array_equal(np.asarray(s_full)[base * rt:], s_c[:2 * rt])
+    tf = np.asarray(t_full)[base * rt:]
+    m = np.isfinite(t_c[:2 * rt])
+    np.testing.assert_array_equal(np.isfinite(tf), m)
+    np.testing.assert_allclose(tf[m], t_c[:2 * rt][m], rtol=1e-5)
+    # Overrun rows: clamped repeats of the last block — same results.
+    np.testing.assert_array_equal(s_c[2 * rt:3 * rt], s_c[1 * rt:2 * rt])
+
+
 def test_camera_mode_refined_pooling_exact(monkeypatch):
     """The 2-stage refined supertile culling (pool 2x2 blocks -> per-tile
     interval re-test of the candidates) must produce EXACTLY the same
