@@ -168,6 +168,23 @@ def cmd_animate(args) -> None:
     # with_retry discipline the fit loop uses (utils/resilience.py).
     from raytracing_tpu.utils.resilience import with_retry
 
+    def present_safe(frame, t, img):
+        # The render dispatch above is retried, but the frame is ASYNC:
+        # a worker crash can surface only when the host materializes it
+        # (np.asarray in present / the final block_until_ready). Seen in
+        # the wild on the tunneled runtime ("TPU worker process crashed
+        # or restarted") — re-render the lost frame under the same retry
+        # discipline instead of killing the animation.
+        try:
+            present(frame, t, img)
+        except jax.errors.JaxRuntimeError:
+            img = with_retry(
+                lambda: jax.block_until_ready(
+                    render_jit(scene.mesh, sun_position(t),
+                               jax.random.PRNGKey(frame))),
+                probe=True)
+            present(frame, t, img)
+
     start = time.perf_counter()
     pending = None
     for frame in range(args.frames):
@@ -177,11 +194,10 @@ def cmd_animate(args) -> None:
             lambda: render_jit(scene.mesh, sun, jax.random.PRNGKey(frame)),
             probe=True)
         if pending is not None:
-            present(*pending)
+            present_safe(*pending)
         pending = (frame, t, img)
     if pending is not None:
-        pending[2].block_until_ready()
-        present(*pending)
+        present_safe(*pending)
     total = time.perf_counter() - start
     print(f"rendered {args.frames} frames in {total:.2f}s "
           f"({args.frames / total:.2f} fps avg)")
