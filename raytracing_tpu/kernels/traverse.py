@@ -839,11 +839,6 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
     else:
         (t_ref, i_ref) = refs
         attr_ref = a_ref = None
-    if lane_cull and unroll != 1:
-        raise ValueError(
-            "lane_cull pre-tests one cluster AABB per visit; a fused "
-            "(unroll > 1) visit would be skipped on cluster 0's test "
-            "alone and silently drop hits in the others")
     rt = ray_tile
     if camera is not None:
         # Camera mode: the "rays" operand slot holds the tiny [spp, 2]
@@ -960,34 +955,42 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
             return jnp.concatenate([ref[c] for c in cl],
                                    axis=0 if tposed else 1)
 
-        def lane_cull_cond(cl0, visit, acc):
-            """Per-visit lane-slab pre-test: intersect this cluster's
-            AABB (6 SMEM scalars) against the ACTUAL rays as [1, RT]
-            row math (~1/CS of the full intersection's cost) and skip
-            the CS-wide visit when NO lane enters. The tile's visit
-            list is a frustum-hull union — measured on the teapot GI
-            level, only ~34 of ~90 listed clusters are entered by any
-            of the tile's 1024 rays (directions fan within the cone;
-            each ray is a thin line). Bounds are inflated a few ulp so
-            f32 rounding can't cull a razor-edge hit."""
-            tn = None
-            tf = None
-            for k in range(3):
-                dk_ = d_cols[k]
-                ok_ = (o_cols[k] if o_cols is not None
-                       else jnp.zeros((1, rt), jnp.float32))
-                deg = jnp.abs(dk_) < _TINY
-                dsafe = jnp.where(deg, _TINY, dk_)
-                t1 = (lcb_ref[k, cl0] - ok_) / dsafe
-                t2 = (lcb_ref[k + 3, cl0] - ok_) / dsafe
-                lo_ = jnp.where(deg, -INF, jnp.minimum(t1, t2))
-                hi_ = jnp.where(deg, INF, jnp.maximum(t1, t2))
-                tn = lo_ if k == 0 else jnp.maximum(tn, lo_)
-                tf = hi_ if k == 0 else jnp.minimum(tf, hi_)
-            tf = tf + (jnp.abs(tf) * 2e-6 + 1e-7)
-            tn = tn - (jnp.abs(tn) * 2e-6 + 1e-7)
-            enter = jnp.any((tn <= tf) & (tf >= 0.0))
-            return jax.lax.cond(enter, visit, lambda a: a, acc)
+        def lane_cull_cond(cl, visit, acc):
+            """Per-visit lane-slab pre-test: intersect the visit's
+            cluster AABB(s) (6 SMEM scalars each) against the ACTUAL
+            rays as [1, RT] row math (~1/CS of the full intersection's
+            cost) and skip the CS-wide visit when NO lane enters ANY of
+            them. The tile's visit list is a frustum-hull union —
+            measured on the teapot GI level, only ~34 of ~90 listed
+            clusters are entered by any of the tile's 1024 rays
+            (directions fan within the cone; each ray is a thin line).
+            With unroll > 1 every fused member's AABB is tested (the
+            cond skips only when all are empty — halving the lax.cond
+            count, which Mosaic prices at ~1-2 us each, at the cost of
+            occasionally intersecting a fused block only one member of
+            which is entered). Bounds are inflated a few ulp so f32
+            rounding can't cull a razor-edge hit."""
+            enter = None
+            for c0 in cl:
+                tn = None
+                tf = None
+                for k in range(3):
+                    dk_ = d_cols[k]
+                    ok_ = (o_cols[k] if o_cols is not None
+                           else jnp.zeros((1, rt), jnp.float32))
+                    deg = jnp.abs(dk_) < _TINY
+                    dsafe = jnp.where(deg, _TINY, dk_)
+                    t1 = (lcb_ref[k, c0] - ok_) / dsafe
+                    t2 = (lcb_ref[k + 3, c0] - ok_) / dsafe
+                    lo_ = jnp.where(deg, -INF, jnp.minimum(t1, t2))
+                    hi_ = jnp.where(deg, INF, jnp.maximum(t1, t2))
+                    tn = lo_ if k == 0 else jnp.maximum(tn, lo_)
+                    tf = hi_ if k == 0 else jnp.minimum(tf, hi_)
+                tf = tf + (jnp.abs(tf) * 2e-6 + 1e-7)
+                tn = tn - (jnp.abs(tn) * 2e-6 + 1e-7)
+                e = (tn <= tf) & (tf >= 0.0)
+                enter = e if enter is None else (enter | e)
+            return jax.lax.cond(jnp.any(enter), visit, lambda a: a, acc)
 
         if nearest:
             sub_slot = jax.lax.broadcasted_iota(jnp.int32, (ku * cs, 1), 0)
@@ -1054,7 +1057,7 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                         return (acc_t, acc_s) + acc_a
 
                     if lane_cull:
-                        return lane_cull_cond(cl[0], visit, acc)
+                        return lane_cull_cond(cl, visit, acc)
                     return visit(acc)
 
                 acc0 = (
@@ -1192,7 +1195,7 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                             acc_t, jnp.min(t, axis=0, keepdims=True))
 
                     if lane_cull:
-                        return lane_cull_cond(cl[0], visit, acc_t)
+                        return lane_cull_cond(cl, visit, acc_t)
                     return visit(acc_t)
 
                 acc_t0 = jnp.full((1, rt), INF, dtype=jnp.float32)
@@ -1982,7 +1985,7 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
                       if early_exit is None else bool(early_exit)))
         flat = _flat_acc_auto(cs, n_attrs)
         refine = lane_cull and _LANE_CULL_MODE == "refine"
-        lc = (lane_cull and not refine and flat and VISIT_UNROLL == 1
+        lc = (lane_cull and not refine and flat
               and (hi - lo) <= _LANE_CULL_MAX_C)
         ids, tnear, cnt = _tile_visit_lists_soa(
             rp, accel.cluster_min[lo:hi], accel.cluster_max[lo:hi],
