@@ -1,5 +1,5 @@
 """Extended benchmark suite — one JSON line per metric, plus a committed
-artifact file (BENCH_SUITE_r02.json).
+artifact file (BENCH_SUITE_r04.json).
 
 Covers the BASELINE.md targets beyond the headline primary-rays/s that
 `bench.py` reports for the driver:
@@ -18,7 +18,12 @@ Covers the BASELINE.md targets beyond the headline primary-rays/s that
                                        triangles — BASELINE config 4 scale)
   accel_build_*                        structure build latency (the
                                        criterion pack_triangles analog)
+  backward_over_forward_arealight      the ratio on a second config
+                                       (area-light scene)
   scaling_efficiency_n<N>              per-device rays/s at N devices vs 1
+                                       (real multi-chip only)
+  sharding_overhead_virtual8_weak      t8/(8*t1) on the virtual CPU mesh
+                                       (see bench_virtual_scaling)
 
 Measurement discipline: every kernel-level timing threads a dependency
 chain (distinct inputs each call) and subtracts a null chain — this
