@@ -44,10 +44,11 @@ def _build(args):
     from raytracing_tpu.accel.packets import build_cluster_accel
     from raytracing_tpu.config import RenderConfig
     from raytracing_tpu.geometry.scene import build_default_scene
+    from raytracing_tpu.tracer import resolve_backend
 
     cfg = RenderConfig(
         width=args.width, height=args.height,
-        samples_per_pixel=args.spp, backend=args.backend,
+        samples_per_pixel=args.spp, backend=resolve_backend(args.backend),
         chunk_size=args.chunk_size,
         reflect_depth=args.reflect_depth, diffuse_depth=args.diffuse_depth,
         diffuse_scatter=args.diffuse_scatter,
@@ -257,8 +258,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--width", type=int, default=800)
         sp.add_argument("--height", type=int, default=800)
         sp.add_argument("--spp", type=int, default=4)
-        sp.add_argument("--backend", default="cluster",
-                        choices=["bruteforce", "cluster", "pallas"])
+        sp.add_argument("--backend", default="auto",
+                        choices=["auto", "bruteforce", "cluster", "pallas"],
+                        help="auto = pallas kernels on TPU (the fast path "
+                             "the benchmarks measure), cluster elsewhere")
         sp.add_argument("--cluster-size", type=int, default=128)
         sp.add_argument("--gi-cluster-size", type=int, default=None,
                         help="build a second, coarser accel for bounce "

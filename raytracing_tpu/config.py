@@ -64,6 +64,16 @@ class RenderConfig:
     # before tracing so culling tiles stay coherent (pallas backend
     # only). Order-invisible semantically; a pure performance knob.
     bin_secondary: bool = True
+    # Also re-bin PURE-REFLECT levels (depth > diffuse_depth, where no
+    # diffuse fan is spawned). Their wavefronts are mostly dead (only
+    # reflective-surface hits stay alive) and inherit the diffuse level's
+    # cone-major sort through the mirror bounce, so the re-bin's payload
+    # sort + unsort (~720k x 8 columns each at the reference workload) can
+    # outweigh the frustum tightening it buys. Bit-exact either way: the
+    # bin permutation is undone before radiance accumulation and the
+    # per-ray RNG assignment rides the PARENT level's order. Default OFF —
+    # measured faster on the reference frame (exp/NOTES_r5_wq.md).
+    bin_reflect_levels: bool = False
     # Additionally re-sort each level's SHADOW rays by hit position: GI
     # hit points scatter across the scene, so the level's bounce-sorted
     # order leaves shadow tiles with ballooned frustums. Pays one extra
@@ -96,6 +106,16 @@ class RenderConfig:
     # lane enters (kernels/traverse lane_cull — bit-exact; measured 99 ->
     # 78 ms on the busy chunk's GI trace).
     gi_lane_cull: bool = True
+    # Work-queue traversal for bounce (depth>1) nearest + shadow queries
+    # (pallas backend only): the visit loop becomes a Pallas GRID axis
+    # with each visit's kernel block streamed by an index-map-driven DMA
+    # (kernels/traverse._wq_kernel), deleting the dynamic walk loop's
+    # ~0.9 us/visit fixed cost that round 4 isolated by elimination
+    # (exp/NOTES_r4_gi.md); visit lists are per-ray refined first
+    # (_lane_refine_lists) so the queue holds only ENTERED clusters.
+    # Exact either way (bit-identical to the dynamic kernel, including
+    # the overflow residual).
+    gi_wq: bool = False
     # Visibility samples per spherical area light per shading point (only
     # used when the scene carries lights; see models/whitted.
     # area_light_term). More samples -> smoother penumbras.
@@ -118,10 +138,12 @@ class RenderConfig:
     # Use the origin-folded "pmto" intersector for the PRIMARY level
     # (pallas backend): primaries of a pinhole camera share one origin, so
     # the Baldwin-Weber origin terms fold into per-triangle scalars (~25%
-    # fewer VPU ops per test, kernels/traverse._pmt_o_tile). Association
-    # differs from the default path, so acceptance-boundary lanes may flip
-    # within one f32 rounding — default OFF to keep images bit-identical
-    # across backends; a pure performance knob otherwise.
+    # fewer VPU ops per test, kernels/traverse._pmt_o_tile). One of the
+    # two knobs that break the cross-backend bit-identity contract (see
+    # README "Bit-identity policy"): association differs, so acceptance-
+    # boundary lanes may flip within one f32 rounding — default OFF.
+    # Measured within noise on the reference frame (the primary level is
+    # ~4 ms of a ~2 s frame), so the default favors the contract.
     primary_shared_origin: bool = False
 
     def replace(self, **kw) -> "RenderConfig":

@@ -480,6 +480,110 @@ def _per_ray_refine(rp, ids, tnear, cnt, cluster_min, cluster_max,
     return ids2.astype(jnp.int32), tnear2, cnt2
 
 
+def _refine_kernel(rays_ref, cand_ref, out_ref, *, rt, t_cap):
+    """Pallas twin of `_per_ray_refine`'s slab math: per (tile, candidate)
+    ENTERED bit — 1 iff any ALIVE lane of the tile enters the candidate's
+    AABB. Everything lives in registers/VMEM for the step, so unlike the
+    XLA formulation the [RT, W] intermediates never touch HBM (the reason
+    the round-4 "refine" mode lost 0.4 s in frame context despite tying in
+    isolated timings).
+
+    Layout: candidates on LANES, rays on SUBLANES — the transpose of the
+    walk kernel, because here the reduction runs over rays. rays_ref
+    [8, S*RT] (SoA rows); cand_ref [S, 8, WP] with rows (cmin xyz,
+    cmax xyz, pad, pad) — invalid list positions arrive as INVERTED boxes
+    (min=+big, max=-big) so the slab test fails them with no extra mask;
+    out_ref [S, WP] i32. Bounds inflated like lane_cull_cond (same
+    empirical rounding guard, same gi_lane_cull=False escape hatch)."""
+    s_count = cand_ref.shape[0]
+    for s in range(s_count):
+        rows = rays_ref[:, s * rt:(s + 1) * rt]
+        cand = cand_ref[s]  # [8, WP]
+        alive = jnp.reshape(rows[7:8, :], (rt, 1)) != 0.0
+        tn = None
+        tf = None
+        for k in range(3):
+            d = jnp.reshape(rows[4 + k:5 + k, :], (rt, 1))
+            o = jnp.reshape(rows[k:k + 1, :], (rt, 1))
+            deg = jnp.abs(d) < _TINY
+            inv = 1.0 / jnp.where(deg, _TINY, d)
+            t1 = (cand[k:k + 1, :] - o) * inv      # [RT, WP]
+            t2 = (cand[k + 3:k + 4, :] - o) * inv
+            lo_ = jnp.where(deg, -INF, jnp.minimum(t1, t2))
+            hi_ = jnp.where(deg, INF, jnp.maximum(t1, t2))
+            tn = lo_ if k == 0 else jnp.maximum(tn, lo_)
+            tf = hi_ if k == 0 else jnp.minimum(tf, hi_)
+        tf = tf + (jnp.abs(tf) * 2e-6 + 1e-7)
+        tn = tn - (jnp.abs(tn) * 2e-6 + 1e-7)
+        if t_cap is not None:
+            # Capped query: a candidate entirely beyond t_cap can never
+            # yield an accepted hit (the intersector enforces t < t_cap).
+            tf = jnp.minimum(tf, jnp.float32(t_cap))
+        enter = (tn <= tf) & (tf >= 0.0) & alive
+        out_ref[s:s + 1, :] = jnp.any(enter, axis=0, keepdims=True
+                                      ).astype(jnp.int32)
+
+
+def _lane_refine_lists(rp, ids, tnear, cnt, cluster_min, cluster_max,
+                       ray_tile, c_total, interpret, t_cap=None):
+    """Refine frustum-hull visit lists to the clusters ANY alive ray of
+    the tile actually enters (see `_refine_kernel`), recompacted
+    front-to-back with the packed (quantized-entry-t | id) top_k trick.
+    Same contract as `_visit_lists_from_extents`; overflow tiles
+    (cnt > width) keep their overflow marker. This is the list-shortening
+    sibling of the in-kernel lane_cull cond: instead of SKIPPING listed
+    non-entered visits per trip, they never reach the walk at all — the
+    work-queue walk depends on it (its step capacity prices off list
+    length, not cond skips)."""
+    nt, w = ids.shape
+    wp = -(-w // 128) * 128
+    big = jnp.float32(3e38)
+    cm = jnp.take(cluster_min, ids.reshape(-1), axis=0).reshape(nt, w, 3)
+    cx = jnp.take(cluster_max, ids.reshape(-1), axis=0).reshape(nt, w, 3)
+    in_list = (jax.lax.broadcasted_iota(jnp.int32, (nt, w), 1)
+               < jnp.minimum(cnt, w)[:, None])[..., None]
+    cm = jnp.where(in_list, cm, big)   # inverted box: never entered
+    cx = jnp.where(in_list, cx, -big)
+    pad2 = jnp.zeros((nt, 2, w), jnp.float32)
+    cand = jnp.concatenate(
+        [cm.transpose(0, 2, 1), cx.transpose(0, 2, 1), pad2],
+        axis=1)  # [nt, 8, w] rows cmin xyz | cmax xyz | pad
+    if wp > w:
+        fill = jnp.broadcast_to(
+            jnp.array([big] * 3 + [-big] * 3 + [0.0, 0.0],
+                      jnp.float32)[None, :, None], (nt, 8, wp - w))
+        cand = jnp.concatenate([cand, fill], axis=2)
+    s_count = SUBTILES if nt % SUBTILES == 0 else 1
+    kern = functools.partial(_refine_kernel, rt=ray_tile, t_cap=t_cap)
+    entered = pl.pallas_call(
+        kern,
+        grid=(nt // s_count,),
+        in_specs=[
+            pl.BlockSpec((8, s_count * ray_tile), lambda i: (0, i)),
+            pl.BlockSpec((s_count, 8, wp), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((s_count, wp), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nt, wp), jnp.int32),
+        interpret=interpret,
+    )(rp[:, :nt * ray_tile], cand)
+    keep = entered[:, :w] > 0
+    # Packed (quantized entry-t | id) selection: one top_k recompacts AND
+    # keeps front-to-back order (see _per_ray_refine for the exactness
+    # argument — truncated entry-t stays a valid lower bound).
+    idbits = max(1, (c_total - 1).bit_length())
+    mask_lo = (1 << idbits) - 1
+    keys = jnp.where(keep, jnp.clip(tnear, 0.0, 3e38), INF)
+    bits = jax.lax.bitcast_convert_type(keys, jnp.int32)
+    packed = (bits & ~mask_lo) | ids
+    negp, _ = jax.lax.top_k(-packed, w)
+    packed_s = -negp
+    ids2 = packed_s & mask_lo
+    tnear2 = jax.lax.bitcast_convert_type(packed_s & ~mask_lo, jnp.float32)
+    cnt2 = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    cnt2 = jnp.where(cnt > w, cnt, cnt2)
+    return ids2.astype(jnp.int32), tnear2, cnt2
+
+
 # ---------------------------------------------------------------------------
 # Phase 3: the walk kernel
 # ---------------------------------------------------------------------------
@@ -744,11 +848,13 @@ def _camera_dirs(tile, rt, offs_ref, camera):
     the materialized pack's."""
     w, h, spp, scale, aspect, bh, bw = camera
     # Clamp to the frame's block grid: a chunked launch whose last chunk
-    # overruns the frame derives the LAST block's rays for the padding
-    # tiles — mirroring block_ray_ids' clamp of pack-path ray ids, so
-    # padding rows stay cheap (tiny repeated lists) and consistent with
-    # the materialized (o, d) the caller shades with (rows >= frame size
-    # are dropped either way).
+    # overruns the frame derives the LAST block's FULL ray set for the
+    # padding tiles. NOTE this differs from block_ray_ids' pack-path
+    # clamp (which repeats ONE flat ray id), so an overrunning chunk's
+    # padding rows pair camera-walk hits with mismatched materialized
+    # (o, d) at shading — harmless only because correctness relies on
+    # callers dropping rows past the frame before use (render() trims
+    # rgb[:r]; tests/test_render.py pins the overrun case).
     tile = jnp.minimum(tile, (w // bw) * (h // bh) - 1)
     p2 = bh * bw
     l = jax.lax.broadcasted_iota(jnp.int32, (1, rt), 1)
@@ -968,8 +1074,12 @@ def _walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
             cond skips only when all are empty — halving the lax.cond
             count, which Mosaic prices at ~1-2 us each, at the cost of
             occasionally intersecting a fused block only one member of
-            which is entered). Bounds are inflated a few ulp so f32
-            rounding can't cull a razor-edge hit."""
+            which is entered). The 2e-6 relative + 1e-7 absolute slab
+            inflation covers the rounding error measured on the tested
+            scenes and on-chip traces; the intersector's accepted t is
+            computed through a different rounding path, so this guard is
+            empirical, not proven — gi_lane_cull=False is the documented
+            escape hatch if a scene ever disagrees with its oracle."""
             enter = None
             for c0 in cl:
                 tn = None
@@ -1470,7 +1580,7 @@ _SMEM_IDS_BUDGET_BYTES = 448 * 1024
 def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
                  tmax_row=None, ray_tile=RAY_TILE, subtiles=SUBTILES,
                  ids_mode="prefetch", tnear=None, bbox=None,
-                 lane_bounds=None):
+                 lane_bounds=None, block_space=None, scratch_shapes=None):
     """Launch the walk kernel, chunking ray tiles so the SMEM-resident
     visit lists stay inside budget at any ray count (prefetch mode only —
     the sliced modes stream per-step slices and never chunk).
@@ -1490,7 +1600,8 @@ def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
     if n_tiles <= max_tiles:
         return _launch_single(kernel, cnt, ids, rays8, blocks, interpret,
                               n_attrs, tmax_row, ray_tile, subtiles,
-                              ids_mode, tnear, bbox, lane_bounds)
+                              ids_mode, tnear, bbox, lane_bounds,
+                              block_space, scratch_shapes)
     pad_t = (-n_tiles) % max_tiles
     if pad_t:
         cnt = jnp.concatenate([cnt, jnp.zeros(pad_t, cnt.dtype)])
@@ -1532,7 +1643,8 @@ def _launch_walk(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
         chunks.append(_launch_single(kernel, cnt_j, ids_j, rays_j, blocks,
                                      interpret, n_attrs, tmax_j, ray_tile,
                                      subtiles, ids_mode, tnear_j, bbox,
-                                     lane_bounds))
+                                     lane_bounds, block_space,
+                                     scratch_shapes))
     rp = n_tiles * ray_tile
     return tuple(
         jnp.concatenate([ch[i] for ch in chunks], axis=1)[:, :rp]
@@ -1609,10 +1721,439 @@ def _launch_gstream(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
     )(*operands)
 
 
+# ---------------------------------------------------------------------------
+# DMA-prefetch walk: explicit double-buffered visit-block fetches
+# ---------------------------------------------------------------------------
+
+
+def _dma_walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
+                     eps, variant, nearest, t_max, n_attrs=0,
+                     per_ray_tmax=False, ray_tile=RAY_TILE,
+                     ids_mode="prefetch", early_exit=False, ee_batch=None):
+    """Dynamic visit-list walk with EXPLICIT double-buffered block DMA.
+
+    Round 4 priced the dynamic kernel's per-visit fixed cost at ~0.9 us
+    and eliminated every candidate except the dynamically-sliced VMEM
+    block reads that Mosaic cannot software-pipeline; the round-5
+    work-queue experiment (`_wq_kernel`) then re-measured the same
+    ~1 us/visit as per-operand PIPELINE bookkeeping when the fetches ride
+    index-map-driven grid operands instead (exp/NOTES_r5_wq.md) — naming
+    the cost: per-visit block-fetch MANAGEMENT, wherever it runs. This
+    kernel does the management by hand, which is the one place it can be
+    overlapped: the block table stays in HBM (`pltpu.ANY` — NO VMEM
+    residency requirement, any scene size), and the loop runs the classic
+    prefetch pattern with TWO static scratch slots — visit j computes
+    from its already-resident slot while visit j+2's 3-6 KB DMA flies.
+    Two visits per trip so slot addressing is STATIC (a dynamic
+    scratch[j%2] read would reintroduce the sliced-VMEM cost); an odd
+    visit count repeats the last visit once (idempotent for the
+    min-accumulate, same clamp rule as `_walk_kernel`'s unroll).
+
+    Geometry and attribute planes ride ONE combined [C, gr+A, CS] table
+    (one DMA per visit); only the flat-accumulator forms exist here — the
+    bounce/shadow workloads this kernel serves always run flat. Early
+    exit, overflow full-scan, ids modes, per-ray t_max, and the output
+    contract mirror `_walk_kernel` exactly (same tie rules, bit-identical
+    results)."""
+    refs = list(refs)
+    if early_exit:
+        tnear_ref = rays_ref
+        bbox_ref = refs.pop(0)
+        rays_ref = refs.pop(0)
+    else:
+        tnear_ref = bbox_ref = None
+    tmax_ref = refs.pop(0) if per_ray_tmax else None
+    blk_hbm = refs.pop(0)
+    if nearest and n_attrs:
+        t_ref, i_ref, a_ref, sc0, sc1, sem = refs
+    else:
+        t_ref, i_ref, sc0, sc1, sem = refs
+        a_ref = None
+    rt = ray_tile
+    rt_step = rays_ref.shape[1]
+    subtiles = rt_step // rt
+    cs = cluster_size
+    gr = 12 if variant in ("pmt", "pmto") else 9
+    i = pl.program_id(0)
+    scratch = (sc0, sc1)
+
+    for s in range(subtiles):
+        tile = i * subtiles + s
+        lo = s * rt
+        rows = rays_ref[:, lo:lo + rt]
+        d_cols = tuple(rows[k:k + 1, :] for k in (4, 5, 6))
+        o_cols = tuple(rows[k:k + 1, :] for k in (0, 1, 2))
+        if per_ray_tmax:
+            t_lim = tmax_ref[:, lo:lo + rt]
+        elif nearest:
+            t_lim = None if t_max == float("inf") else t_max
+        else:
+            t_lim = t_max
+
+        def intersect(blk):
+            if variant == "pmto":
+                return _pmt_o_tile(d_cols, blk, eps, t_lim)
+            if variant == "pmt":
+                return _pmt_tile(o_cols, d_cols, blk, eps, t_lim)
+            return _mt_tile(o_cols, d_cols, blk, eps, t_lim)
+
+        n_total = blk_hbm.shape[0]
+        width = ids_ref.shape[1]
+        n_true = cnt_ref[s, 0] if ids_mode == "smem" else cnt_ref[tile]
+        overflow = n_true > width
+        trips = jnp.where(overflow, n_total, n_true)
+
+        def cluster_of(j):
+            jc = jnp.clip(j, 0, jnp.maximum(trips - 1, 0))
+            return jnp.where(
+                overflow, jc,
+                ids_ref[s if ids_mode == "smem" else tile,
+                        jnp.minimum(jc, width - 1)])
+
+        def start(slot, j):
+            pltpu.make_async_copy(
+                blk_hbm.at[cluster_of(j)], scratch[slot], sem.at[slot]
+            ).start()
+
+        def wait(slot):
+            pltpu.make_async_copy(
+                blk_hbm.at[0], scratch[slot], sem.at[slot]).wait()
+
+        sub_slot = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+
+        def visit(slot, j, acc):
+            """One visit from STATIC scratch slot `slot` — the flat-acc
+            update of _walk_kernel, fed from the combined block rows."""
+            blk_all = scratch[slot][:]
+            cl = cluster_of(j)
+            if nearest:
+                acc_t, acc_s = acc[0], acc[1]
+                acc_a = acc[2:]
+                t = intersect(blk_all[0:gr, :])
+                slot_id = cl * cs + sub_slot
+                tmin_v = jnp.min(t, axis=0, keepdims=True)
+                win = t == tmin_v
+                slot_v = jnp.min(jnp.where(win, slot_id, _BIG_ID), axis=0,
+                                 keepdims=True)
+                better = tmin_v < acc_t
+                eq = (tmin_v == acc_t) & (tmin_v < INF)
+                upd = better | (eq & (slot_v < acc_s))
+                acc_s = jnp.where(upd, slot_v, acc_s)
+                if n_attrs:
+                    win2 = win & (slot_id == slot_v)
+                    for k in range(n_attrs):
+                        rows_a = jnp.reshape(
+                            blk_all[gr + k:gr + k + 1, :], (cs, 1))
+                        a_v = jnp.max(jnp.where(win2, rows_a, -INF),
+                                      axis=0, keepdims=True)
+                        acc_a = acc_a[:k] + (jnp.where(
+                            upd, a_v, acc_a[k]),) + acc_a[k + 1:]
+                acc_t = jnp.minimum(acc_t, tmin_v)
+                return (acc_t, acc_s) + acc_a
+            t = intersect(blk_all[0:gr, :])
+            return (jnp.minimum(
+                acc[0], jnp.min(t, axis=0, keepdims=True)),)
+
+        def pair_body(m, acc):
+            # Guide-order double buffering, unrolled by two so slot
+            # addressing stays static: each fetch is issued one visit
+            # before its consumption (fetch j0+1 flies over visit j0's
+            # compute, fetch j0+2 over visit j0+1's), and a slot's write
+            # sits after its previous read in program order (Mosaic
+            # serializes the DMA against the ref's outstanding reads).
+            j0 = 2 * m
+            start(1, j0 + 1)
+            wait(0)
+            acc = visit(0, j0, acc)
+            start(0, j0 + 2)
+            wait(1)
+            acc = visit(1, j0 + 1, acc)
+            return acc
+
+        if nearest:
+            acc0 = (
+                jnp.full((1, rt), INF, dtype=jnp.float32),
+                jnp.full((1, rt), _BIG_ID, dtype=jnp.int32),
+            ) + tuple(jnp.zeros((1, rt), dtype=jnp.float32)
+                      for _ in range(n_attrs))
+        else:
+            acc0 = (jnp.full((1, rt), INF, dtype=jnp.float32),)
+
+        pair_trips = (trips + 1) // 2
+        any_work = trips > 0
+
+        @pl.when(any_work)
+        def _walk():
+            # Warm-up: visit 0's fetch only — every later fetch is issued
+            # by the pair body, exactly one visit ahead.
+            start(0, 0)
+            if early_exit:
+                ec = max(1, (ee_batch if ee_batch else EARLY_EXIT_BATCH)
+                         // 2)
+                alive_lane = rays_ref[7:8, lo:lo + rt] != 0.0
+                exit_row = _scene_exit_row(o_cols, d_cols, bbox_ref, rt)
+                id_row = s if ids_mode == "smem" else tile
+
+                def wcond(st):
+                    return (st[0] < pair_trips) & jnp.logical_not(st[1])
+
+                def wbody(st):
+                    m = st[0]
+                    acc = st[2:]
+                    for _ in range(ec):
+                        acc = pair_body(m, acc)
+                        m = m + 1
+                    per_lane = jnp.minimum(
+                        jnp.min(acc[0], axis=0, keepdims=True), exit_row)
+                    worst = jnp.max(
+                        jnp.where(alive_lane, per_lane, -INF))
+                    nxt = jnp.where(
+                        overflow, -INF,
+                        tnear_ref[id_row, jnp.minimum(2 * m, width - 1)])
+                    return (m, worst < nxt) + acc
+
+                st = jax.lax.while_loop(
+                    wcond, wbody, (jnp.int32(0), jnp.bool_(False)) + acc0)
+                acc = st[2:]
+            else:
+                acc = jax.lax.fori_loop(0, pair_trips, pair_body, acc0)
+            # Drain: every pair leaves exactly one outstanding fetch on
+            # slot 0 (the j0+2 issued mid-pair); a dangling DMA semaphore
+            # would corrupt the next subtile's walk.
+            wait(0)
+            acc_t = acc[0]
+            t_ref[:, lo:lo + rt] = acc_t
+            if nearest:
+                i_ref[:, lo:lo + rt] = acc[1]
+                for k in range(n_attrs):
+                    a_ref[k:k + 1, lo:lo + rt] = acc[2 + k]
+            else:
+                i_ref[:, lo:lo + rt] = (acc_t < INF).astype(jnp.int32)
+
+        @pl.when(jnp.logical_not(any_work))
+        def _empty():
+            t_ref[:, lo:lo + rt] = jnp.full((1, rt), INF, jnp.float32)
+            i_ref[:, lo:lo + rt] = jnp.full(
+                (1, rt), _BIG_ID if nearest else 0, jnp.int32)
+            if nearest and n_attrs:
+                a_ref[:, lo:lo + rt] = jnp.zeros((n_attrs, rt),
+                                                 jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Work-queue walk: the visit loop as a Pallas GRID axis
+# ---------------------------------------------------------------------------
+
+# Visits fused per work-queue grid step (independent streamed block
+# operands — each gets its own double-buffered DMA lane).
+WQ_U = 4
+
+
+def _wq_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size, eps,
+               variant, nearest, t_max, n_attrs=0, u=WQ_U, spt=32,
+               width=128, per_ray_tmax=False, ray_tile=RAY_TILE):
+    """WORK-QUEUE walk: one grid step = `u` visits of ONE ray tile.
+
+    The round-4 diagnosis left a ~0.9 us/visit fixed cost in the dynamic
+    walk loop that survived every ablation (exp/NOTES_r4_gi.md) — the
+    remaining suspects all lived around the per-trip dynamically-sliced
+    VMEM block reads that Mosaic cannot software-pipeline (each trip's
+    address depends on a scalar read inside the loop). This kernel deletes
+    the loop: the visit index becomes part of the GRID (step k = visits
+    [j0, j0+u) of tile k // spt), and each visit's kernel block arrives as
+    a GRID-SLICED OPERAND whose PrefetchScalarGridSpec index_map reads the
+    visit list — the Pallas pipeline computes next step's addresses ahead
+    and double-buffers the HBM->VMEM block fetches, so the body has NO
+    dynamic VMEM slicing at all. This is the TPU-native shape of the
+    reference's "hot loop touches only dense prefetched SoA data"
+    (simd_accel.rs:282-331).
+
+    Pacing: sum-paced over REAL visits plus pl.when-guarded idle steps
+    (tiles own ceil(width/u) steps each; a tile with cnt < width skips its
+    tail steps at scalar-sequencing cost, and their index maps clamp to
+    the last valid visit so no DMA re-issues). Out-of-range visits inside
+    a valid step clamp the same way — repeated visits are idempotent for
+    the min-accumulate. Accumulators are the [1|A, RT] OUTPUT blocks
+    themselves (flat-acc form): Pallas keeps an output block resident in
+    VMEM while consecutive steps map to it (steps of one tile are
+    consecutive by construction) and writes it back once at the tile
+    boundary. Init happens on each tile's first step.
+
+    Operands after the (cnt, ids) scalar prefetch: rays [8, RT] (sliced
+    per tile), optional per-ray tmax row [1, RT], then `u` combined block
+    operands — each [1, 12 + A, CS] sliced from the fused
+    (pmt rows | attr rows) table by its visit's index map. Outputs:
+    t [1, RT], slot [1, RT], optionally attrs [A, RT]."""
+    refs = list(refs)
+    tmax_ref = refs.pop(0) if per_ray_tmax else None
+    blk_refs = [refs.pop(0) for _ in range(u)]
+    if nearest and n_attrs:
+        t_ref, i_ref, a_ref = refs
+    else:
+        t_ref, i_ref = refs
+        a_ref = None
+    rt = ray_tile
+    cs = cluster_size
+    gr = 12 if variant in ("pmt", "pmto") else 9  # geometry rows per block
+    k = pl.program_id(0)
+    t_loc = k // spt
+    j0 = (k % spt) * u
+    cw = jnp.minimum(cnt_ref[t_loc], width)
+
+    @pl.when(k % spt == 0)
+    def _init():
+        t_ref[:] = jnp.full((1, rt), INF, jnp.float32)
+        # Occlusion reads i as a BOOLEAN (occ != 0): a zero-visit tile
+        # must init it to 0, not the nearest path's BIG_ID miss slot.
+        i_ref[:] = jnp.full((1, rt), _BIG_ID if nearest else 0, jnp.int32)
+        if a_ref is not None:
+            a_ref[:] = jnp.zeros((n_attrs, rt), jnp.float32)
+
+    @pl.when(j0 < cw)
+    def _run():
+        rows = rays_ref[:]
+        d_cols = tuple(rows[kk:kk + 1, :] for kk in (4, 5, 6))
+        o_cols = tuple(rows[kk:kk + 1, :] for kk in (0, 1, 2))
+        if per_ray_tmax:
+            t_lim = tmax_ref[:]
+        elif nearest:
+            t_lim = None if t_max == float("inf") else t_max
+        else:
+            t_lim = t_max
+
+        def intersect(blk):
+            if variant == "pmto":
+                return _pmt_o_tile(d_cols, blk, eps, t_lim)
+            if variant == "pmt":
+                return _pmt_tile(o_cols, d_cols, blk, eps, t_lim)
+            return _mt_tile(o_cols, d_cols, blk, eps, t_lim)
+
+        if nearest:
+            sub_slot = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+            acc_t = t_ref[:]
+            acc_s = i_ref[:]
+            acc_a = ([a_ref[kk:kk + 1, :] for kk in range(n_attrs)]
+                     if n_attrs else [])
+            for uu in range(u):
+                # Same clamp as the index maps (launcher) so the slot id
+                # matches the fetched block.
+                jc = jnp.clip(j0 + uu, 0, jnp.maximum(cw - 1, 0))
+                cid = ids_ref[t_loc, jnp.minimum(jc, width - 1)]
+                blk = blk_refs[uu][0]          # [gr + A, CS], static read
+                tvis = intersect(blk[0:gr, :])  # [CS, RT]
+                slot = cid * cs + sub_slot
+                tmin_v = jnp.min(tvis, axis=0, keepdims=True)
+                win = tvis == tmin_v
+                slot_v = jnp.min(jnp.where(win, slot, _BIG_ID), axis=0,
+                                 keepdims=True)
+                better = tmin_v < acc_t
+                # Same tie rule as flat_acc: global (min t, min slot),
+                # INF == INF never counts as a tie.
+                eq = (tmin_v == acc_t) & (tmin_v < INF)
+                upd = better | (eq & (slot_v < acc_s))
+                acc_s = jnp.where(upd, slot_v, acc_s)
+                if n_attrs:
+                    win2 = win & (slot == slot_v)
+                    for kk in range(n_attrs):
+                        rows_a = jnp.reshape(blk[gr + kk:gr + kk + 1, :],
+                                             (cs, 1))
+                        a_v = jnp.max(jnp.where(win2, rows_a, -INF),
+                                      axis=0, keepdims=True)
+                        acc_a[kk] = jnp.where(upd, a_v, acc_a[kk])
+                acc_t = jnp.minimum(acc_t, tmin_v)
+            t_ref[:] = acc_t
+            i_ref[:] = acc_s
+            for kk in range(n_attrs):
+                a_ref[kk:kk + 1, :] = acc_a[kk]
+        else:
+            acc_t = t_ref[:]
+            for uu in range(u):
+                tvis = intersect(blk_refs[uu][0][0:gr, :])
+                acc_t = jnp.minimum(
+                    acc_t, jnp.min(tvis, axis=0, keepdims=True))
+            t_ref[:] = acc_t
+            i_ref[:] = (acc_t < INF).astype(jnp.int32)
+
+
+def _launch_wq(cnt, ids, rays8, wq_blocks, interpret, *, cluster_size,
+               eps, variant, nearest, t_max, n_attrs=0, u=WQ_U,
+               tmax_row=None, ray_tile=RAY_TILE):
+    """Launch `_wq_kernel` over grid (n_tiles * steps_per_tile,),
+    chunking tiles so the scalar-prefetched visit lists fit SMEM (same
+    budget discipline as `_launch_walk`). Walks the first min(cnt, width)
+    visits of each tile — the caller owns the overflow residual."""
+    nt_all, width = ids.shape
+    spt = -(-width // u)
+    max_tiles = max(1, _SMEM_IDS_BUDGET_BYTES // (4 * width))
+    outs = []
+    for lo in range(0, nt_all, max_tiles):
+        hi = min(lo + max_tiles, nt_all)
+        nt = hi - lo
+        cnt_j = cnt[lo:hi]
+        ids_j = ids[lo:hi]
+        rays_j = jax.lax.slice_in_dim(rays8, lo * ray_tile, hi * ray_tile,
+                                      axis=1)
+        tmax_j = (jax.lax.slice_in_dim(tmax_row, lo * ray_tile,
+                                       hi * ray_tile, axis=1)
+                  if tmax_row is not None else None)
+        out_rows = [1, 1] + ([n_attrs] if nearest and n_attrs else [])
+        out_dtypes = [jnp.float32, jnp.int32] + (
+            [jnp.float32] if nearest and n_attrs else [])
+        in_specs = [pl.BlockSpec((8, ray_tile),
+                                 lambda k, c, i: (0, k // spt))]
+        operands = [rays_j]
+        if tmax_j is not None:
+            in_specs.append(pl.BlockSpec((1, ray_tile),
+                                         lambda k, c, i: (0, k // spt)))
+            operands.append(tmax_j)
+        bshape = (1,) + wq_blocks.shape[1:]
+        for uu in range(u):
+            def im(k, c, i, _uu=uu):
+                t = k // spt
+                cw = jnp.minimum(c[t], width)
+                jc = jnp.clip((k % spt) * u + _uu, 0,
+                              jnp.maximum(cw - 1, 0))
+                return (i[t, jnp.minimum(jc, width - 1)], 0, 0)
+            in_specs.append(pl.BlockSpec(bshape, im))
+            operands.append(wq_blocks)
+        kern = functools.partial(
+            _wq_kernel, cluster_size=cluster_size, eps=eps,
+            variant=variant, nearest=nearest, t_max=t_max,
+            n_attrs=n_attrs if nearest else 0, u=u, spt=spt, width=width,
+            per_ray_tmax=tmax_j is not None, ray_tile=ray_tile)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nt * spt,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((rows, ray_tile), lambda k, c, i: (0, k // spt))
+                for rows in out_rows
+            ],
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((rows, nt * ray_tile), dt)
+            for rows, dt in zip(out_rows, out_dtypes)
+        ]
+        outs.append(pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )(cnt_j, ids_j, *operands))
+    if len(outs) == 1:
+        return outs[0]
+    return tuple(
+        jnp.concatenate([ch[i] for ch in outs], axis=1)
+        for i in range(len(outs[0]))
+    )
+
+
 def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
                    tmax_row=None, ray_tile=RAY_TILE, subtiles=SUBTILES,
                    ids_mode="prefetch", tnear=None, bbox=None,
-                 lane_bounds=None):
+                   lane_bounds=None, block_space=None, scratch_shapes=None):
     rp = rays8.shape[1]
     step = ray_tile * subtiles
     n_steps = rp // step
@@ -1669,13 +2210,19 @@ def _launch_single(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
             pl.BlockSpec((rows, step), lambda i, *_: (0, i))
             for _, rows in sliced
         ] + lcb_specs + [
-            pl.BlockSpec(b.shape, lambda i, *_, nd=b.ndim: (0,) * nd)
+            # block_space=pltpu.ANY: the table stays in HBM and the
+            # kernel DMAs visit blocks itself (_dma_walk_kernel) — no
+            # VMEM residency at any scene size.
+            (pl.BlockSpec(memory_space=block_space)
+             if block_space is not None else
+             pl.BlockSpec(b.shape, lambda i, *_, nd=b.ndim: (0,) * nd))
             for b in blocks
         ],
         out_specs=[
             pl.BlockSpec((rows, step), lambda i, *_: (0, i))
             for rows in out_rows
         ],
+        scratch_shapes=scratch_shapes or [],
     )
     out_shape = [
         jax.ShapeDtypeStruct((rows, rp), dt)
@@ -1771,24 +2318,24 @@ def _shaded_walk(static, verts, normals, colors, materials, o, d, rays8,
     Gradients reach verts (via the re-derived Möller–Trumbore t),
     normals, colors, materials, and the ray origins/directions;
     traversal decisions stay detached (SURVEY.md §7)."""
-    eps, variant, t_cap, early_exit, interpret, has_so, rt, lc = static
+    eps, variant, t_cap, early_exit, interpret, has_so, rt, lc, wq = static
     t_k, slot, attrs_k = nearest_hit_attrs_soa(
         accel, rays8, eps, interpret, variant, t_cap=t_cap,
         early_exit=early_exit,
         shared_origin=shared_origin if has_so else None, ray_tile=rt,
-        lane_cull=lc)
+        lane_cull=lc, wq=wq)
     hit = jnp.isfinite(t_k)
     return t_k, slot, _objid_expand(accel, attrs_k, hit).T
 
 
 def _shaded_walk_fwd(static, verts, normals, colors, materials, o, d,
                      rays8, tri_v, accel, shared_origin):
-    eps, variant, t_cap, early_exit, interpret, has_so, rt, lc = static
+    eps, variant, t_cap, early_exit, interpret, has_so, rt, lc, wq = static
     t_k, slot, both = nearest_hit_attrs_soa(
         accel, rays8, eps, interpret, variant, t_cap=t_cap,
         early_exit=early_exit,
         shared_origin=shared_origin if has_so else None,
-        attr_kind="both", ray_tile=rt, lane_cull=lc)
+        attr_kind="both", ray_tile=rt, lane_cull=lc, wq=wq)
     a_rows = accel.attr_blocks.shape[1]
     planes = both[a_rows:]          # [11, N] backward grad planes
     hit = jnp.isfinite(t_k)
@@ -1932,10 +2479,163 @@ _LANE_CULL_MODE = "kernel"
 _LANE_CULL_FORCE_SKIP = False
 
 
+# Which implementation the public `wq` flag selects: "dma" (the
+# DMA-prefetch dynamic walk, _dma_walk_kernel — the measured winner) or
+# "grid" (the visit-loop-as-grid-axis experiment, _wq_kernel — kept as
+# the committed measurement that named the per-visit cost; see
+# exp/NOTES_r5_wq.md). Both are bit-identical to the dynamic kernel.
+_WQ_IMPL = "dma"
+
+
+def _walk_dma(accel, rp, eps, interpret, variant, nearest, t_max, n_attrs,
+              tmax_row=None, attr_kind="shade", shared_origin=None,
+              ray_tile=RAY_TILE, early_exit=None):
+    """DMA-prefetch traversal (see `_dma_walk_kernel`): phase 1 frustum
+    lists, phase 2.5 per-ray entered refinement (`_lane_refine_lists` —
+    non-entered visits would cost full intersections here, there is no
+    in-loop cond to skip them), then ONE launch of the double-buffered
+    dynamic walk over the refined lists with the combined block table
+    left in HBM. Overflow tiles full-scan in-kernel (streaming makes
+    that legal at any C); the batched front-to-back early exit rides the
+    refined entry-t lower bounds unchanged."""
+    cs = accel.cluster_size
+    c_total = accel.num_clusters
+    if shared_origin is not None and variant == "pmt":
+        variant = "pmto"
+    base = (accel.pmt_blocks if variant in ("pmt", "pmto")
+            else accel.tri_blocks)
+    if variant == "pmto":
+        base = _fold_origin(base, shared_origin)
+    blocks = base
+    if n_attrs:
+        blocks = jnp.concatenate(
+            [base, _attr_table(accel, "pmt", attr_kind)], axis=1)
+    t_cap = t_max if (nearest and t_max != float("inf")) else None
+    ids, tnear, cnt = _tile_visit_lists_soa(
+        rp, accel.cluster_min, accel.cluster_max, ray_tile,
+        interpret=interpret, t_cap=t_cap)
+    ids, tnear, cnt = _lane_refine_lists(
+        rp, ids, tnear, cnt, accel.cluster_min, accel.cluster_max,
+        ray_tile, c_total, interpret, t_cap=t_cap)
+    early = (nearest and tmax_row is None
+             and (c_total > _EARLY_EXIT_MIN_CLUSTERS
+                  if early_exit is None else bool(early_exit)))
+    mode = IDS_MODE
+    if mode == "prefetch":
+        eb = 8 if early else 4
+        max_t = max(SUBTILES, _SMEM_IDS_BUDGET_BYTES
+                    // (eb * ids.shape[1]) // SUBTILES * SUBTILES)
+        if ids.shape[0] > max_t:
+            mode = "smem"
+    kern = functools.partial(
+        _dma_walk_kernel, cluster_size=cs, eps=eps, variant=variant,
+        nearest=nearest, t_max=t_max, n_attrs=n_attrs,
+        per_ray_tmax=tmax_row is not None, ray_tile=ray_tile,
+        ids_mode=mode, early_exit=early, ee_batch=_ee_batch_for(cs))
+    scratch = [
+        pltpu.VMEM((blocks.shape[1], cs), blocks.dtype),
+        pltpu.VMEM((blocks.shape[1], cs), blocks.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    bbox = (jnp.stack([jnp.min(accel.cluster_min, axis=0),
+                       jnp.max(accel.cluster_max, axis=0)])
+            if early else None)
+    # HBM explicitly, not ANY: the compiler resolves ANY to VMEM when the
+    # table fits, and a manual DMA slice of a <128-lane block out of a
+    # VMEM-tiled memref crashes Mosaic; from HBM the fetch is a plain
+    # (re-layouting) DMA.
+    out = _launch_walk(kern, cnt, ids, rp, (blocks,), interpret,
+                       n_attrs=n_attrs, tmax_row=tmax_row,
+                       ray_tile=ray_tile, subtiles=SUBTILES,
+                       ids_mode=mode, tnear=tnear if early else None,
+                       bbox=bbox, block_space=pltpu.HBM,
+                       scratch_shapes=scratch)
+    if nearest:
+        return out[0], out[1], out[2] if n_attrs else None
+    return out[0], out[1], None
+
+
+def _walk_wq(accel, rp, eps, interpret, variant, nearest, t_max, n_attrs,
+             tmax_row=None, attr_kind="shade", shared_origin=None,
+             ray_tile=RAY_TILE):
+    """Work-queue traversal (see `_wq_kernel`): phase 1 frustum lists,
+    phase 2.5 per-ray entered refinement (`_lane_refine_lists` — the wq
+    grid's step capacity prices off LIST LENGTH, so hull overcounting
+    would cost full intersections, not cond skips), then the wq launch
+    over the refined lists plus a residual dynamic-kernel launch covering
+    overflow tiles (cnt > width), whose lists were truncated. Exact: the
+    residual full-scans exactly the tiles the wq pass under-walked, and
+    the elementwise nearest/or merge is associative."""
+    cs = accel.cluster_size
+    c_total = accel.num_clusters
+    if shared_origin is not None and variant == "pmt":
+        variant = "pmto"
+    base = (accel.pmt_blocks if variant in ("pmt", "pmto")
+            else accel.tri_blocks)
+    if variant == "pmto":
+        base = _fold_origin(base, shared_origin)
+    attrs_tbl = None
+    wq_blocks = base
+    if n_attrs:
+        attrs_tbl = _attr_table(accel, "pmt", attr_kind)
+        wq_blocks = jnp.concatenate([base, attrs_tbl], axis=1)
+    t_cap = t_max if (nearest and t_max != float("inf")) else None
+    ids, tnear, cnt = _tile_visit_lists_soa(
+        rp, accel.cluster_min, accel.cluster_max, ray_tile,
+        interpret=interpret, t_cap=t_cap)
+    ids, tnear, cnt = _lane_refine_lists(
+        rp, ids, tnear, cnt, accel.cluster_min, accel.cluster_max,
+        ray_tile, c_total, interpret, t_cap=t_cap)
+    out = _launch_wq(cnt, ids, rp, wq_blocks, interpret, cluster_size=cs,
+                     eps=eps, variant=variant, nearest=nearest,
+                     t_max=t_max, n_attrs=n_attrs, tmax_row=tmax_row,
+                     ray_tile=ray_tile)
+    if nearest:
+        t_g, s_g = out[0], out[1]
+        a_g = out[2] if n_attrs else None
+    else:
+        t_g, s_g, a_g = out[0], out[1], None
+    width = ids.shape[1]
+    if c_total > width:
+        # Overflow residual: tiles whose flagged count exceeded the list
+        # width were only partially walked above — rescan THEM (and only
+        # them: everyone else gets cnt 0 = an empty loop) with the
+        # dynamic kernel's full-scan fallback.
+        cnt_res = jnp.where(cnt > width, cnt, 0)
+        mode = IDS_MODE
+        if mode == "prefetch":
+            max_t = max(SUBTILES, _SMEM_IDS_BUDGET_BYTES
+                        // (4 * width) // SUBTILES * SUBTILES)
+            if ids.shape[0] > max_t:
+                mode = "smem"
+        kern = functools.partial(
+            _walk_kernel, cluster_size=cs, eps=eps, variant=variant,
+            nearest=nearest, t_max=t_max, n_attrs=n_attrs, unroll=1,
+            per_ray_tmax=tmax_row is not None, ray_tile=ray_tile,
+            ids_mode=mode, early_exit=False, flat_acc=True,
+            lane_cull=False)
+        blocks = (base,) + ((attrs_tbl,) if n_attrs else ())
+        out2 = _launch_walk(kern, cnt_res, ids, rp, blocks, interpret,
+                            n_attrs=n_attrs, tmax_row=tmax_row,
+                            ray_tile=ray_tile, subtiles=SUBTILES,
+                            ids_mode=mode)
+        if nearest:
+            t2, s2 = out2[0], out2[1]
+            better = t2 < t_g
+            if n_attrs:
+                a_g = jnp.where(better, out2[2], a_g)
+            s_g = jnp.where(better, s2, s_g)
+            t_g = jnp.minimum(t_g, t2)
+        else:
+            t_g = jnp.minimum(t_g, out2[0])
+            s_g = s_g | out2[1]
+    return t_g, s_g, a_g
+
+
 def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
                  n_attrs, tmax_row=None, attr_kind="shade",
                  early_exit=None, shared_origin=None, ray_tile=RAY_TILE,
-                 lane_cull=False):
+                 lane_cull=False, wq=False):
     """Phase 1-3 over the cluster set, split into VMEM-sized groups when
     the scene's kernel blocks exceed the resident budget (the >VMEM path:
     each group is one ordinary resident-block walk; per-ray results merge
@@ -1945,6 +2645,30 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
     nearest queries; (t, occ, None) for occlusion queries."""
     cs = accel.cluster_size
     c_total = accel.num_clusters
+    if wq and variant in ("pmt", "mt") and accel.pmt_blocks is not None:
+        if _WQ_IMPL == "dma" and cs % 128 == 0:
+            # DMA-prefetch walk: blocks stream from HBM, so there is NO
+            # residency requirement at any scene size. Requires the
+            # block minor dim (cluster size) lane-aligned: Mosaic cannot
+            # memref_slice a partial 128-lane tile out of the HBM table
+            # (cs=128 ties cs=64 on the dynamic GI walk anyway —
+            # exp/NOTES_r5_wq.md). Other sizes fall through to the
+            # dynamic kernels unchanged.
+            return _walk_dma(accel, rp, eps, interpret, variant, nearest,
+                             t_max, n_attrs, tmax_row=tmax_row,
+                             attr_kind=attr_kind,
+                             shared_origin=shared_origin,
+                             ray_tile=ray_tile, early_exit=early_exit)
+        if c_total <= _vmem_group_clusters(accel, "pmt", n_attrs,
+                                           attr_kind):
+            # Grid-impl work queue (the measurement variant): requires a
+            # VMEM-sized block table for the overflow residual's resident
+            # launch; bigger scenes fall through.
+            return _walk_wq(accel, rp, eps, interpret, variant, nearest,
+                            t_max, n_attrs, tmax_row=tmax_row,
+                            attr_kind=attr_kind,
+                            shared_origin=shared_origin,
+                            ray_tile=ray_tile)
     if shared_origin is not None and variant == "pmt":
         # All rays leave one point: fold the origin into the block
         # scalars (cheap XLA elementwise) and run the o-free intersector.
@@ -2296,6 +3020,7 @@ def nearest_hit_attrs_soa(
     attr_kind: str = "shade",
     ray_tile: int = RAY_TILE,
     lane_cull: bool = False,
+    wq: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Nearest hit over the SoA ray pack, with the winning triangle's
     shading attributes accumulated IN the kernel (see _walk_kernel). Returns
@@ -2327,7 +3052,7 @@ def nearest_hit_attrs_soa(
                                         early_exit=early_exit,
                                         shared_origin=shared_origin,
                                         ray_tile=ray_tile,
-                                        lane_cull=lane_cull)
+                                        lane_cull=lane_cull, wq=wq)
         t_k, slot, attrs = _merge_rest_nearest(accel, rp, t_k, slot, attrs,
                                                eps, n_attrs,
                                                attr_kind=attr_kind)
@@ -2337,7 +3062,8 @@ def nearest_hit_attrs_soa(
                               n_attrs=n_attrs, attr_kind=attr_kind,
                               early_exit=early_exit,
                               shared_origin=shared_origin,
-                              ray_tile=ray_tile, lane_cull=lane_cull)
+                              ray_tile=ray_tile, lane_cull=lane_cull,
+                              wq=wq)
     t1, s1, a1 = _merge_rest_nearest(accel, rp, t1, s1, a1, eps, n_attrs,
                                      attr_kind=attr_kind)
     done = t1 < t_cap  # [1, rp]; rest hits beyond cap do NOT settle a ray
@@ -2348,7 +3074,8 @@ def nearest_hit_attrs_soa(
                               n_attrs=n_attrs, attr_kind=attr_kind,
                               early_exit=early_exit,
                               shared_origin=shared_origin,
-                              ray_tile=ray_tile, lane_cull=lane_cull)
+                              ray_tile=ray_tile, lane_cull=lane_cull,
+                              wq=wq)
     # Survivors may still be beaten by their (full-range) rest candidate
     # already merged into pass 1: keep the elementwise nearest of both.
     better2 = t2 < t1
@@ -2367,6 +3094,7 @@ def any_hit_soa(
     variant: str = DEFAULT_VARIANT,
     ray_tile: int = RAY_TILE,
     lane_cull: bool = False,
+    wq: bool = False,
 ) -> jnp.ndarray:
     """Raw kernel occlusion query over the SoA ray pack [8, N]. t_max may
     be a python float (uniform bound) or a [N] array (per-ray bound — the
@@ -2394,7 +3122,7 @@ def any_hit_soa(
     _, occ, _ = _walk_groups(accel, rp, eps, interpret, variant,
                              nearest=False, t_max=t_max, n_attrs=0,
                              tmax_row=tmax_row, ray_tile=ray_tile,
-                             lane_cull=lane_cull)
+                             lane_cull=lane_cull, wq=wq)
     occ_b = occ[0] != 0
     occ_b = _merge_rest_occlusion(
         accel, rp, occ_b, eps, t_max,
@@ -2882,6 +3610,7 @@ def nearest_hit_shaded(
     shared_origin: jnp.ndarray | None = None,
     ray_tile: int = RAY_TILE,
     lane_cull: bool = False,
+    wq: bool = False,
 ) -> Tuple[Hit, jnp.ndarray]:
     """The renderer's gather-free fast path: nearest hit + the winning
     triangle's shading attributes straight out of the kernel. Returns
@@ -2901,7 +3630,7 @@ def nearest_hit_shaded(
     sg = jax.lax.stop_gradient
     rays8 = rays_to_soa(sg(o), sg(d), alive=alive)
     static = (eps, variant, t_cap, early_exit, interpret,
-              shared_origin is not None, ray_tile, lane_cull)
+              shared_origin is not None, ray_tile, lane_cull, wq)
     so = (sg(shared_origin) if shared_origin is not None
           else jnp.zeros(3, o.dtype))
     t, slot, attrs = _shaded_walk(
@@ -2925,8 +3654,9 @@ def any_hit_pallas(
     alive: jnp.ndarray | None = None,
     ray_tile: int = RAY_TILE,
     lane_cull: bool = False,
+    wq: bool = False,
 ) -> jnp.ndarray:
     sg = jax.lax.stop_gradient
     rays8 = rays_to_soa(sg(o), sg(d), alive=alive)
     return any_hit_soa(accel, rays8, eps, t_max, interpret, variant,
-                       ray_tile=ray_tile, lane_cull=lane_cull)
+                       ray_tile=ray_tile, lane_cull=lane_cull, wq=wq)

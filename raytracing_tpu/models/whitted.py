@@ -88,6 +88,7 @@ def shade(
     bin_shadow: Optional[bool] = None,
     ray_tile: Optional[int] = None,
     lane_cull: bool = False,
+    wq: bool = False,
 ) -> Shaded:
     """Direct lighting at hit points, incl. the shadow (any-hit) query —
     the reference's main.rs:176-241 in batch form.
@@ -141,12 +142,12 @@ def shade(
         sidx, (pos_s, alive_s) = bin_sort(k, pos, sh_alive)
         dir_s = normalize(sun - pos_s, eps=1e-20)
         occ_s = any_hit(mesh, accel, pos_s, dir_s, config, alive=alive_s,
-                        ray_tile=ray_tile, lane_cull=lane_cull)
+                        ray_tile=ray_tile, lane_cull=lane_cull, wq=wq)
         (occluded,) = unsort(sidx, occ_s)
     else:
         occluded = any_hit(mesh, accel, pos, sun_dir, config,
                            alive=sh_alive, ray_tile=ray_tile,
-                           lane_cull=lane_cull)
+                           lane_cull=lane_cull, wq=wq)
     lit = hit.hit & facing & ~occluded
     direct = jnp.where(
         lit[:, None], color * (ndl * albedo_pi)[:, None], 0.0
@@ -165,6 +166,7 @@ def area_light_term(
     config: RenderConfig,
     ray_tile: Optional[int] = None,
     lane_cull: bool = False,
+    wq: bool = False,
 ) -> jnp.ndarray:
     """Soft-shadowed direct radiance from spherical area lights [N, 3] —
     the feature the reference stubbed out (`lights: Vec::new(), // TODO`,
@@ -213,7 +215,8 @@ def area_light_term(
             t_stop = t_light * (1.0 - 1e-4)
             occluded = any_hit(mesh, accel, pos, w_dir, config,
                                t_max=t_stop, alive=alive,
-                               ray_tile=ray_tile, lane_cull=lane_cull)
+                               ray_tile=ray_tile, lane_cull=lane_cull,
+                               wq=wq)
             vis = alive & ~occluded
             acc = acc + jnp.where(vis, jnp.maximum(ndl, 0.0), 0.0)
         radiance = (acc / config.light_samples * omega)[:, None] * em[None, :]
@@ -254,6 +257,7 @@ def render_rays(
     s = config.diffuse_scatter
     rt_gi = config.gi_ray_tile or None
     lc_gi = config.gi_lane_cull
+    wq_gi = config.gi_wq
     sky = jnp.asarray(config.sky_color, dtype=o.dtype)
     bin_sh = (config.bin_shadow if isinstance(config.bin_shadow, bool)
               else gi_accel is None)  # "auto" (see RenderConfig)
@@ -292,7 +296,11 @@ def render_rays(
         # shade resolves them through the same accel's order table.
         acc_l = gi_accel if (depth > 1 and gi_accel is not None) else accel
         if (depth > 1 and config.backend == "pallas" and accel is not None
-                and config.bin_secondary):
+                and config.bin_secondary
+                # Levels past diffuse_depth hold only reflect children —
+                # see bin_reflect_levels.
+                and (depth <= config.diffuse_depth
+                     or config.bin_reflect_levels)):
             # Quantize over the batch's own live origins, not the scene
             # box: with the ±10,000 ground plane in scene_bounds every
             # visible bounce origin shares one 2,500-unit Morton cell and
@@ -307,6 +315,11 @@ def render_rays(
 
             tb, offs_c, bh_c, bw_c = camera_chunk
             rt_c = config.samples_per_pixel * bh_c * bw_c
+            if n_l % rt_c:
+                raise ValueError(
+                    f"camera_chunk needs the chunk's ray count ({n_l}) to "
+                    f"divide into whole {bh_c}x{bw_c}x{config.samples_per_pixel}"
+                    f"spp blocks of {rt_c} rays")
             h, attrs = nearest_hit_shaded_camera(
                 acc_l, offs_c, width=config.width, height=config.height,
                 spp=config.samples_per_pixel, scale=config.scale,
@@ -322,18 +335,21 @@ def render_rays(
                 shared_origin=(o_l[0] if depth == 1
                                and config.primary_shared_origin else None),
                 ray_tile=rt_gi if depth > 1 else None,
-                lane_cull=lc_gi and depth > 1)
+                lane_cull=lc_gi and depth > 1,
+                wq=wq_gi and depth > 1)
         sh = shade(mesh, acc_l, sun, o_l, d_l, h, config, attrs=attrs,
                    bin_shadow=bin_sh,
                    ray_tile=rt_gi if depth > 1 else None,
-                   lane_cull=lc_gi and depth > 1)
+                   lane_cull=lc_gi and depth > 1,
+                   wq=wq_gi and depth > 1)
         direct = sh.direct
         if lights is not None:
             kl = jax.random.fold_in(key, 7777 + depth)
             area = area_light_term(mesh, acc_l, lights, sh, h.hit, kl,
                                    config,
                                    ray_tile=rt_gi if depth > 1 else None,
-                                   lane_cull=lc_gi and depth > 1)
+                                   lane_cull=lc_gi and depth > 1,
+                                   wq=wq_gi and depth > 1)
             direct = direct + jnp.where(h.hit[:, None], area, 0.0)
         has_r = depth < config.reflect_depth
         has_d = depth < config.diffuse_depth

@@ -28,6 +28,19 @@ from raytracing_tpu.ops.intersect import INF
 from raytracing_tpu.ops.trace import Hit, any_hit_brute, nearest_hit_brute
 
 
+def resolve_backend(backend: str) -> str:
+    """Resolve the "auto" backend choice: the Pallas megakernels on TPU
+    (the fast path every benchmark measures), the pure-XLA cluster
+    hierarchy elsewhere (CPU/interpret-mode Pallas is a debugging oracle,
+    not a production path). The reference is fast by default — the
+    quickstart should be too. Explicit names pass through untouched."""
+    import jax
+
+    if backend != "auto":
+        return backend
+    return "pallas" if jax.default_backend() == "tpu" else "cluster"
+
+
 def nearest_hit(
     mesh: Mesh,
     accel: Optional[ClusterAccel],
@@ -65,6 +78,7 @@ def nearest_hit_shaded(
     shared_origin: Optional[jnp.ndarray] = None,
     ray_tile: Optional[int] = None,
     lane_cull: bool = False,
+    wq: bool = False,
 ):
     """Nearest hit plus (on the pallas backend) the winning triangle's
     shading attributes accumulated inside the kernel — the gather-free hot
@@ -85,7 +99,7 @@ def nearest_hit_shaded(
                        t_cap=t_cap, early_exit=early_exit,
                        shared_origin=shared_origin,
                        ray_tile=ray_tile or RAY_TILE,
-                       lane_cull=lane_cull)
+                       lane_cull=lane_cull, wq=wq)
     return nearest_hit(mesh, accel, o, d, config, alive=alive), None
 
 
@@ -99,6 +113,7 @@ def any_hit(
     alive: Optional[jnp.ndarray] = None,
     ray_tile: Optional[int] = None,
     lane_cull: bool = False,
+    wq: bool = False,
 ) -> jnp.ndarray:
     if config.backend == "bruteforce" or accel is None:
         tri = triangle_soa(mesh.verts, mesh.tri_v)
@@ -110,5 +125,5 @@ def any_hit(
 
         return any_hit_pallas(mesh, accel, o, d, config.eps, t_max,
                               alive=alive, ray_tile=ray_tile or RAY_TILE,
-                              lane_cull=lane_cull)
+                              lane_cull=lane_cull, wq=wq)
     raise ValueError(f"unknown backend {config.backend!r}")

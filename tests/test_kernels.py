@@ -462,3 +462,91 @@ def test_camera_mode_refined_pooling_exact(monkeypatch):
                                       spp=spp, interpret=True, bh=8, bw=8)
     np.testing.assert_array_equal(np.asarray(t2), np.asarray(t3))
     np.testing.assert_array_equal(np.asarray(s2), np.asarray(s3))
+
+
+@pytest.fixture(scope="module")
+def wq_setup(rng):
+    """Mixed coherent/incoherent batch with dead lanes over the default
+    scene — the work-queue walk's target workload shape."""
+    from raytracing_tpu.geometry.scene import build_default_scene
+    from raytracing_tpu.kernels.traverse import rays_to_soa
+
+    scene = build_default_scene(t=0.0)
+    accel = build_cluster_accel(scene.mesh, cluster_size=64,
+                                variants=("pmt",))
+    n = 2048
+    o1 = np.zeros((n // 2, 3), np.float32)
+    xs = rng.uniform(-0.4, 0.4, (n // 2, 2)).astype(np.float32)
+    d1 = np.concatenate([xs, np.ones((n // 2, 1), np.float32)], axis=1)
+    o2 = rng.uniform(-3, 3, (n // 2, 3)).astype(np.float32)
+    o2[:, 2] += 7.0
+    d2 = rng.normal(size=(n // 2, 3)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    o = np.concatenate([o1, o2])
+    d = np.concatenate([d1, d2])
+    alive = rng.uniform(size=n) > 0.1
+    rays8 = rays_to_soa(jnp.asarray(o), jnp.asarray(d),
+                        alive=jnp.asarray(alive))
+    return scene.mesh, accel, rays8, alive
+
+
+def test_wq_nearest_attrs_matches_dynamic(wq_setup):
+    """Work-queue walk (visit loop as a grid axis, streamed block
+    operands + per-ray refined lists) must be BIT-identical to the
+    dynamic kernel on alive lanes — t, slot ids, and attr planes."""
+    from raytracing_tpu.kernels.traverse import nearest_hit_attrs_soa
+
+    _, accel, rays8, alive = wq_setup
+    t0, s0, a0 = nearest_hit_attrs_soa(accel, rays8, interpret=True)
+    t1, s1, a1 = nearest_hit_attrs_soa(accel, rays8, interpret=True,
+                                       wq=True)
+    m = alive
+    np.testing.assert_array_equal(np.asarray(t0)[m], np.asarray(t1)[m])
+    np.testing.assert_array_equal(np.asarray(s0)[m], np.asarray(s1)[m])
+    np.testing.assert_array_equal(np.asarray(a0)[:, m],
+                                  np.asarray(a1)[:, m])
+
+
+def test_wq_anyhit_matches_dynamic(wq_setup):
+    """Occlusion wq parity, incl. the zero-visit-tile init (a tile with
+    no visits must read NOT occluded) and the per-ray t_max row."""
+    from raytracing_tpu.kernels.traverse import any_hit_soa
+
+    _, accel, rays8, alive = wq_setup
+    m = alive
+    occ0 = any_hit_soa(accel, rays8, interpret=True)
+    occ1 = any_hit_soa(accel, rays8, interpret=True, wq=True)
+    np.testing.assert_array_equal(np.asarray(occ0)[m], np.asarray(occ1)[m])
+    tmax = jnp.asarray(
+        np.linspace(0.5, 30.0, rays8.shape[1]).astype(np.float32))
+    occ2 = any_hit_soa(accel, rays8, t_max=tmax, interpret=True)
+    occ3 = any_hit_soa(accel, rays8, t_max=tmax, interpret=True, wq=True)
+    np.testing.assert_array_equal(np.asarray(occ2)[m], np.asarray(occ3)[m])
+
+
+def test_wq_overflow_residual(wq_setup, monkeypatch):
+    """Force tiny visit lists so incoherent tiles OVERFLOW (cnt > width):
+    the wq pass is then incomplete by construction and the residual
+    dynamic launch must restore exactness."""
+    import raytracing_tpu.kernels.traverse as T
+
+    _, accel, rays8, alive = wq_setup
+    t0, s0, a0 = T.nearest_hit_attrs_soa(accel, rays8, interpret=True)
+    monkeypatch.setattr(T, "_MAX_VISITS", 8)
+    monkeypatch.setattr(T, "_SMEM_IDS_BUDGET_BYTES", 4 * 8 * 8 * 8)
+    t1, s1, a1 = T.nearest_hit_attrs_soa(accel, rays8, interpret=True,
+                                         wq=True)
+    m = alive
+    np.testing.assert_array_equal(np.asarray(t0)[m], np.asarray(t1)[m])
+    np.testing.assert_array_equal(np.asarray(s0)[m], np.asarray(s1)[m])
+    np.testing.assert_array_equal(np.asarray(a0)[:, m],
+                                  np.asarray(a1)[:, m])
+
+
+def test_resolve_backend_auto():
+    from raytracing_tpu.tracer import resolve_backend
+
+    # CPU test environment: auto must resolve to the XLA cluster backend.
+    assert resolve_backend("auto") == "cluster"
+    for b in ("bruteforce", "cluster", "pallas"):
+        assert resolve_backend(b) == b
