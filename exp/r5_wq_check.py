@@ -14,7 +14,7 @@ from raytracing_tpu.kernels.traverse import (
 
 def main():
     scene = build_default_scene(t=0.0)
-    accel = build_cluster_accel(scene.mesh, cluster_size=64,
+    accel = build_cluster_accel(scene.mesh, cluster_size=128,
                                 variants=("pmt",))
     rng = np.random.default_rng(0)
     n = 4096

@@ -65,15 +65,16 @@ class RenderConfig:
     # only). Order-invisible semantically; a pure performance knob.
     bin_secondary: bool = True
     # Also re-bin PURE-REFLECT levels (depth > diffuse_depth, where no
-    # diffuse fan is spawned). Their wavefronts are mostly dead (only
-    # reflective-surface hits stay alive) and inherit the diffuse level's
-    # cone-major sort through the mirror bounce, so the re-bin's payload
-    # sort + unsort (~720k x 8 columns each at the reference workload) can
-    # outweigh the frustum tightening it buys. Bit-exact either way: the
-    # bin permutation is undone before radiance accumulation and the
-    # per-ray RNG assignment rides the PARENT level's order. Default OFF —
-    # measured faster on the reference frame (exp/NOTES_r5_wq.md).
-    bin_reflect_levels: bool = False
+    # diffuse fan is spawned). Tempting to skip — their wavefronts are
+    # mostly dead and the re-bin pays 2 payload sorts of ~720k x 8
+    # columns per level — but MEASURED a 1.9x frame LOSS when skipped
+    # (1.88 -> 3.37 s, exp/NOTES_r5_wq.md): a mirror bounce of the
+    # hemispherical GI fan scatters directions across the sphere, so
+    # unbinned reflect tiles mix cones and their frustums balloon to
+    # full-scene scans — the walks cost far more than the sorts saved.
+    # Bit-exact either way (the permutation is undone before radiance
+    # accumulation; no RNG is drawn at pure-reflect levels). Default ON.
+    bin_reflect_levels: bool = True
     # Additionally re-sort each level's SHADOW rays by hit position: GI
     # hit points scatter across the scene, so the level's bounce-sorted
     # order leaves shadow tiles with ballooned frustums. Pays one extra

@@ -227,7 +227,7 @@ def _supertile_group(c):
 
 
 def _tile_visit_lists_soa(rays8, cluster_min, cluster_max, rt,
-                          interpret=False, t_cap=None):
+                          interpret=False, t_cap=None, extra_mask=None):
     """Visit lists from the SoA ray pack [8, N] (rows ox oy oz 1 dx dy dz
     ALIVE). The per-tile frustum is computed over ALIVE lanes only (row 7
     != 0): dead lanes — padding, children of miss parents, zero-weight
@@ -248,7 +248,8 @@ def _tile_visit_lists_soa(rays8, cluster_min, cluster_max, rt,
     d_lo, d_hi = lo[:, 4:7], hi[:, 4:7]
     ids, tnear, cnt = _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi,
                                                 cluster_min, cluster_max,
-                                                t_cap=t_cap)
+                                                t_cap=t_cap,
+                                                extra_mask=extra_mask)
     tile_alive = hi[:, 7] > 0.0
     cnt = jnp.where(tile_alive, cnt, 0)
     return ids, tnear, cnt
@@ -284,7 +285,7 @@ _SUPERTILE_MIN_C = 2048
 
 
 def _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi, cluster_min,
-                              cluster_max, t_cap=None):
+                              cluster_max, t_cap=None, extra_mask=None):
     c = cluster_min.shape[0]
     if _SUPERCELL_MIN_C is not None and c > _SUPERCELL_MIN_C:
         g = _SUPERCELL_G
@@ -315,11 +316,13 @@ def _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi, cluster_min,
                                  (nt, ws, g)).reshape(nt, ws * g)
         return ids.astype(jnp.int32), tnear, cnt_s * g
     return _visit_lists_single(o_lo, o_hi, d_lo, d_hi, cluster_min,
-                               cluster_max, t_cap=t_cap)
+                               cluster_max, t_cap=t_cap,
+                               extra_mask=extra_mask)
 
 
 def _visit_lists_single(o_lo, o_hi, d_lo, d_hi, cluster_min,
-                        cluster_max, t_cap=None, entry_cost=1):
+                        cluster_max, t_cap=None, entry_cost=1,
+                        extra_mask=None):
     # All arrays here are kept 2-D [nt, C] (clusters on the lane axis) by
     # unrolling the xyz loop in Python: a fused [nt, C, 3] formulation pads
     # its minor dim 3 -> 128 in every materialized intermediate (measured
@@ -350,6 +353,11 @@ def _visit_lists_single(o_lo, o_hi, d_lo, d_hi, cluster_min,
         # scene along a hemisphere" to a cap-sized neighborhood.
         t_far_ub = jnp.minimum(t_far_ub, jnp.float32(t_cap))
     flags = (t_near_lb <= t_far_ub) & (t_far_ub >= 0.0)
+    if extra_mask is not None:
+        # Dense per-ray ENTERED mask [nt, C] (see _refine_dense) — ANDed
+        # before compaction, so one top_k serves hull culling AND the
+        # refinement with no gather anywhere.
+        flags = flags & extra_mask
     # FRONT-TO-BACK visit lists in one shot: top_k of the negated entry-t
     # keys compacts the flagged clusters AND orders them by entry lower
     # bound (unflagged clusters carry +inf keys and sort to the back,
@@ -480,7 +488,8 @@ def _per_ray_refine(rp, ids, tnear, cnt, cluster_min, cluster_max,
     return ids2.astype(jnp.int32), tnear2, cnt2
 
 
-def _refine_kernel(rays_ref, cand_ref, out_ref, *, rt, t_cap):
+def _refine_kernel(rays_ref, cand_ref, *refs, rt, t_cap,
+                   has_alive=False):
     """Pallas twin of `_per_ray_refine`'s slab math: per (tile, candidate)
     ENTERED bit — 1 iff any ALIVE lane of the tile enters the candidate's
     AABB. Everything lives in registers/VMEM for the step, so unlike the
@@ -495,33 +504,107 @@ def _refine_kernel(rays_ref, cand_ref, out_ref, *, rt, t_cap):
     (min=+big, max=-big) so the slab test fails them with no extra mask;
     out_ref [S, WP] i32. Bounds inflated like lane_cull_cond (same
     empirical rounding guard, same gi_lane_cull=False escape hatch)."""
-    s_count = cand_ref.shape[0]
+    alive_ref = refs[0] if has_alive else None
+    out_ref = refs[-1]
+    s_count = rays_ref.shape[1] // rt
     for s in range(s_count):
-        rows = rays_ref[:, s * rt:(s + 1) * rt]
-        cand = cand_ref[s]  # [8, WP]
-        alive = jnp.reshape(rows[7:8, :], (rt, 1)) != 0.0
-        tn = None
-        tf = None
-        for k in range(3):
-            d = jnp.reshape(rows[4 + k:5 + k, :], (rt, 1))
-            o = jnp.reshape(rows[k:k + 1, :], (rt, 1))
-            deg = jnp.abs(d) < _TINY
-            inv = 1.0 / jnp.where(deg, _TINY, d)
-            t1 = (cand[k:k + 1, :] - o) * inv      # [RT, WP]
-            t2 = (cand[k + 3:k + 4, :] - o) * inv
-            lo_ = jnp.where(deg, -INF, jnp.minimum(t1, t2))
-            hi_ = jnp.where(deg, INF, jnp.maximum(t1, t2))
-            tn = lo_ if k == 0 else jnp.maximum(tn, lo_)
-            tf = hi_ if k == 0 else jnp.minimum(tf, hi_)
-        tf = tf + (jnp.abs(tf) * 2e-6 + 1e-7)
-        tn = tn - (jnp.abs(tn) * 2e-6 + 1e-7)
-        if t_cap is not None:
-            # Capped query: a candidate entirely beyond t_cap can never
-            # yield an accepted hit (the intersector enforces t < t_cap).
-            tf = jnp.minimum(tf, jnp.float32(t_cap))
-        enter = (tn <= tf) & (tf >= 0.0) & alive
-        out_ref[s:s + 1, :] = jnp.any(enter, axis=0, keepdims=True
-                                      ).astype(jnp.int32)
+        def slab(s=s):
+            rows = rays_ref[:, s * rt:(s + 1) * rt]
+            # Dense mode (_refine_dense) shares ONE candidate block —
+            # the whole cluster table — across every subtile.
+            cand = cand_ref[s if cand_ref.shape[0] > 1 else 0]  # [8, WP]
+            alive = jnp.reshape(rows[7:8, :], (rt, 1)) != 0.0
+            tn = None
+            tf = None
+            for k in range(3):
+                d = jnp.reshape(rows[4 + k:5 + k, :], (rt, 1))
+                o = jnp.reshape(rows[k:k + 1, :], (rt, 1))
+                deg = jnp.abs(d) < _TINY
+                inv = 1.0 / jnp.where(deg, _TINY, d)
+                t1 = (cand[k:k + 1, :] - o) * inv      # [RT, WP]
+                t2 = (cand[k + 3:k + 4, :] - o) * inv
+                lo_ = jnp.where(deg, -INF, jnp.minimum(t1, t2))
+                hi_ = jnp.where(deg, INF, jnp.maximum(t1, t2))
+                tn = lo_ if k == 0 else jnp.maximum(tn, lo_)
+                tf = hi_ if k == 0 else jnp.minimum(tf, hi_)
+            tf = tf + (jnp.abs(tf) * 2e-6 + 1e-7)
+            tn = tn - (jnp.abs(tn) * 2e-6 + 1e-7)
+            if t_cap is not None:
+                # Capped query: a candidate entirely beyond t_cap can
+                # never yield an accepted hit (the intersector enforces
+                # t < t_cap).
+                tf = jnp.minimum(tf, jnp.float32(t_cap))
+            enter = (tn <= tf) & (tf >= 0.0) & alive
+            out_ref[s:s + 1, :] = jnp.any(enter, axis=0, keepdims=True
+                                          ).astype(jnp.int32)
+        if alive_ref is None:
+            slab()
+        else:
+            # Dead-tile skip on a PREFETCHED scalar (no vector->scalar
+            # stall): sky chunks' bounce levels are all-dead, and the
+            # full [RT, WP] slab per dead tile was most of the dense
+            # refine's in-frame cost (6 refined queries x 40 chunks).
+            @pl.when(alive_ref[s, 0] > 0)
+            def _(s=s):
+                slab()
+
+            @pl.when(alive_ref[s, 0] == 0)
+            def _(s=s):
+                out_ref[s:s + 1, :] = jnp.zeros(
+                    (1, out_ref.shape[1]), jnp.int32)
+
+
+# Cluster-count ceiling for the DENSE (gather-free) per-ray refinement:
+# above it the [RT, C] slab pass outgrows VMEM/compute and the
+# candidate-gather form (_lane_refine_lists) takes over.
+_REFINE_DENSE_MAX_C = 512
+
+
+def _refine_dense(rp, cluster_min, cluster_max, ray_tile, interpret,
+                  t_cap=None, tile_alive=None):
+    """Per-ray ENTERED bits for EVERY cluster — the gather-free sibling of
+    `_lane_refine_lists` for small cluster sets. The candidate operand is
+    the whole AABB table as one constant [8, Cp] block (rows cmin xyz |
+    cmax xyz | pad), identical for every tile, so there is NO per-tile
+    candidate gather: the round-5 frame measurement showed the gathered
+    form's per-query `jnp.take` (serial on TPU) eating the walk's whole
+    win at 6 refined queries per chunk. Returns [nt, C] bool."""
+    n = rp.shape[1]
+    nt = n // ray_tile
+    c = cluster_min.shape[0]
+    cp = -(-c // 128) * 128
+    big = jnp.float32(3e38)
+    cand = jnp.concatenate(
+        [cluster_min.T, cluster_max.T, jnp.zeros((2, c), jnp.float32)],
+        axis=0)  # [8, C]
+    if cp > c:
+        fill = jnp.broadcast_to(
+            jnp.array([big] * 3 + [-big] * 3 + [0.0, 0.0],
+                      jnp.float32)[:, None], (8, cp - c))
+        cand = jnp.concatenate([cand, fill], axis=1)
+    s_count = SUBTILES if nt % SUBTILES == 0 else 1
+    kern = functools.partial(_refine_kernel, rt=ray_tile, t_cap=t_cap,
+                             has_alive=tile_alive is not None)
+    in_specs = [
+        pl.BlockSpec((8, s_count * ray_tile), lambda i: (0, i)),
+        pl.BlockSpec((1, 8, cp), lambda i: (0, 0, 0)),
+    ]
+    operands = [rp[:, :n], cand[None]]
+    if tile_alive is not None:
+        in_specs.append(pl.BlockSpec((s_count, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(tile_alive.astype(jnp.int32)[:, None])
+    entered = pl.pallas_call(
+        kern,
+        grid=(nt // s_count,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((s_count, cp), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nt, cp), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(*operands)
+    return entered[:, :c] > 0
 
 
 def _lane_refine_lists(rp, ids, tnear, cnt, cluster_min, cluster_max,
@@ -1729,7 +1812,8 @@ def _launch_gstream(kernel, cnt, ids, rays8, blocks, interpret, n_attrs=0,
 def _dma_walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                      eps, variant, nearest, t_max, n_attrs=0,
                      per_ray_tmax=False, ray_tile=RAY_TILE,
-                     ids_mode="prefetch", early_exit=False, ee_batch=None):
+                     ids_mode="prefetch", early_exit=False, ee_batch=None,
+                     camera=None):
     """Dynamic visit-list walk with EXPLICIT double-buffered block DMA.
 
     Round 4 priced the dynamic kernel's per-visit fixed cost at ~0.9 us
@@ -1762,6 +1846,10 @@ def _dma_walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
         rays_ref = refs.pop(0)
     else:
         tnear_ref = bbox_ref = None
+    if camera is not None and len(camera) > 8 and camera[8]:
+        base_ref = refs.pop(0)  # chunked camera launches (see _walk_kernel)
+    else:
+        base_ref = None
     tmax_ref = refs.pop(0) if per_ray_tmax else None
     blk_hbm = refs.pop(0)
     if nearest and n_attrs:
@@ -1770,8 +1858,17 @@ def _dma_walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
         t_ref, i_ref, sc0, sc1, sem = refs
         a_ref = None
     rt = ray_tile
-    rt_step = rays_ref.shape[1]
-    subtiles = rt_step // rt
+    if camera is not None:
+        # Camera mode: the rays slot holds the [spp, 2] offset table and
+        # direction rows derive in-register per subtile (_camera_dirs);
+        # origin is the pinhole at 0 ("pmto" blocks fold it).
+        offs_ref = rays_ref
+        rays_ref = None
+        subtiles = camera[7]
+        rt_step = subtiles * rt
+    else:
+        rt_step = rays_ref.shape[1]
+        subtiles = rt_step // rt
     cs = cluster_size
     gr = 12 if variant in ("pmt", "pmto") else 9
     i = pl.program_id(0)
@@ -1780,9 +1877,14 @@ def _dma_walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
     for s in range(subtiles):
         tile = i * subtiles + s
         lo = s * rt
-        rows = rays_ref[:, lo:lo + rt]
-        d_cols = tuple(rows[k:k + 1, :] for k in (4, 5, 6))
-        o_cols = tuple(rows[k:k + 1, :] for k in (0, 1, 2))
+        if camera is not None:
+            gtile = tile if base_ref is None else tile + base_ref[0, 0]
+            d_cols = _camera_dirs(gtile, rt, offs_ref, camera[:7])
+            o_cols = None
+        else:
+            rows = rays_ref[:, lo:lo + rt]
+            d_cols = tuple(rows[k:k + 1, :] for k in (4, 5, 6))
+            o_cols = tuple(rows[k:k + 1, :] for k in (0, 1, 2))
         if per_ray_tmax:
             t_lim = tmax_ref[:, lo:lo + rt]
         elif nearest:
@@ -1890,7 +1992,8 @@ def _dma_walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
             if early_exit:
                 ec = max(1, (ee_batch if ee_batch else EARLY_EXIT_BATCH)
                          // 2)
-                alive_lane = rays_ref[7:8, lo:lo + rt] != 0.0
+                alive_lane = (None if camera is not None
+                              else rays_ref[7:8, lo:lo + rt] != 0.0)
                 exit_row = _scene_exit_row(o_cols, d_cols, bbox_ref, rt)
                 id_row = s if ids_mode == "smem" else tile
 
@@ -1905,8 +2008,9 @@ def _dma_walk_kernel(cnt_ref, ids_ref, rays_ref, *refs, cluster_size,
                         m = m + 1
                     per_lane = jnp.minimum(
                         jnp.min(acc[0], axis=0, keepdims=True), exit_row)
-                    worst = jnp.max(
-                        jnp.where(alive_lane, per_lane, -INF))
+                    worst = (jnp.max(per_lane) if alive_lane is None else
+                             jnp.max(jnp.where(alive_lane, per_lane,
+                                               -INF)))
                     nxt = jnp.where(
                         overflow, -INF,
                         tnear_ref[id_row, jnp.minimum(2 * m, width - 1)])
@@ -2458,6 +2562,11 @@ def _vmem_group_clusters(accel: ClusterAccel, variant: str,
 # resident at this budget on v5e.
 _CAMERA_BLOCK_BUDGET_BYTES = 106 * 1024 * 1024
 
+# Camera-mode block fetch: "auto" (resident when the table fits the VMEM
+# budget, DMA-prefetch otherwise), "resident", or "dma" (force — exp
+# harnesses). See _dma_walk_kernel.
+_CAMERA_FETCH = "auto"
+
 
 # lane_cull SMEM cap: the per-cluster AABB rows ([C, 6] f32) must fit
 # SMEM next to the visit lists; above this cluster count the pre-test is
@@ -2487,6 +2596,23 @@ _LANE_CULL_FORCE_SKIP = False
 _WQ_IMPL = "dma"
 
 
+def _pad_block_rows(blocks):
+    """Pad a combined [C, rows, CS] block table's ROW dim to a multiple
+    of the f32 sublane tile (8): the per-visit DMA writes the whole
+    [rows, CS] slice into an (8, 128)-tiled VMEM scratch, and a
+    partial-sublane-tile write FAULTS the device at runtime (observed:
+    the 12-row occlusion table crashed the TPU worker while the 16-row
+    nearest table ran). Zero rows are inert — the kernel slices the rows
+    it knows about."""
+    rows = blocks.shape[1]
+    pad = (-rows) % 8
+    if pad:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((blocks.shape[0], pad, blocks.shape[2]),
+                               blocks.dtype)], axis=1)
+    return blocks
+
+
 def _walk_dma(accel, rp, eps, interpret, variant, nearest, t_max, n_attrs,
               tmax_row=None, attr_kind="shade", shared_origin=None,
               ray_tile=RAY_TILE, early_exit=None):
@@ -2510,13 +2636,28 @@ def _walk_dma(accel, rp, eps, interpret, variant, nearest, t_max, n_attrs,
     if n_attrs:
         blocks = jnp.concatenate(
             [base, _attr_table(accel, "pmt", attr_kind)], axis=1)
+    blocks = _pad_block_rows(blocks)
     t_cap = t_max if (nearest and t_max != float("inf")) else None
-    ids, tnear, cnt = _tile_visit_lists_soa(
-        rp, accel.cluster_min, accel.cluster_max, ray_tile,
-        interpret=interpret, t_cap=t_cap)
-    ids, tnear, cnt = _lane_refine_lists(
-        rp, ids, tnear, cnt, accel.cluster_min, accel.cluster_max,
-        ray_tile, c_total, interpret, t_cap=t_cap)
+    if c_total <= _REFINE_DENSE_MAX_C:
+        # Gather-free dense refinement fused into phase 2's top_k; ONE
+        # extents pass serves the alive flags and the frustum lists.
+        lo_e, hi_e = _tile_extents_pallas(rp, ray_tile, interpret)
+        tile_alive = hi_e[:, 7] > 0.0
+        entered = _refine_dense(rp, accel.cluster_min, accel.cluster_max,
+                                ray_tile, interpret, t_cap=t_cap,
+                                tile_alive=tile_alive)
+        ids, tnear, cnt = _visit_lists_from_extents(
+            lo_e[:, 0:3], hi_e[:, 0:3], lo_e[:, 4:7], hi_e[:, 4:7],
+            accel.cluster_min, accel.cluster_max, t_cap=t_cap,
+            extra_mask=entered)
+        cnt = jnp.where(tile_alive, cnt, 0)
+    else:
+        ids, tnear, cnt = _tile_visit_lists_soa(
+            rp, accel.cluster_min, accel.cluster_max, ray_tile,
+            interpret=interpret, t_cap=t_cap)
+        ids, tnear, cnt = _lane_refine_lists(
+            rp, ids, tnear, cnt, accel.cluster_min, accel.cluster_max,
+            ray_tile, c_total, interpret, t_cap=t_cap)
     early = (nearest and tmax_row is None
              and (c_total > _EARLY_EXIT_MIN_CLUSTERS
                   if early_exit is None else bool(early_exit)))
@@ -3205,7 +3346,7 @@ def _camera_dir_rows_xla(n, offs, w, h, spp, scale, aspect, bh, bw,
 def _launch_camera(kern, cnt, ids, offs, blocks, interpret, n_attrs=0,
                    subtiles=SUBTILES, tnear=None, n_tiles=None,
                    ray_tile=RAY_TILE, tile_base=None, bbox=None,
-                   lane_bounds=None):
+                   lane_bounds=None, block_space=None, scratch_shapes=None):
     """One-launch camera-mode walk: visit lists stream per grid step as
     SMEM slices (the "smem" ids mode — no whole-array SMEM residency, so
     no chunked launches at any tile count); the only tensor operands are
@@ -3235,8 +3376,10 @@ def _launch_camera(kern, cnt, ids, offs, blocks, interpret, n_attrs=0,
         in_specs.append(smem(lane_bounds.shape, lambda i, *_: (0, 0)))
         operands.append(lane_bounds)
     for b in blocks:
-        in_specs.append(pl.BlockSpec(
-            b.shape, lambda i, *_, nd=b.ndim: (0,) * nd))
+        in_specs.append(
+            pl.BlockSpec(memory_space=block_space)
+            if block_space is not None else
+            pl.BlockSpec(b.shape, lambda i, *_, nd=b.ndim: (0,) * nd))
         operands.append(b)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -3246,6 +3389,7 @@ def _launch_camera(kern, cnt, ids, offs, blocks, interpret, n_attrs=0,
             pl.BlockSpec((rows, step), lambda i, *_: (0, i))
             for rows in out_rows
         ],
+        scratch_shapes=scratch_shapes or [],
     )
     out_shape = [
         jax.ShapeDtypeStruct((rows, rp), dt)
@@ -3323,9 +3467,18 @@ def nearest_hit_camera_soa(
     gsz = _vmem_group_clusters(accel, "pmt", n_attrs,
                                budget=_CAMERA_BLOCK_BUDGET_BYTES)
     c_total = accel.num_clusters
-    if c_total > gsz:
-        raise ValueError("camera mode requires resident kernel blocks; "
-                         f"scene has {c_total} clusters > budget {gsz}")
+    # DMA fetch (see _dma_walk_kernel): blocks stay in HBM, so VMEM
+    # residency stops being the scene-size ceiling. "auto" keeps the
+    # resident walk when the table fits (measured fastest at small
+    # cluster sizes, which DMA mode cannot serve anyway) and switches to
+    # DMA when it doesn't; requires a lane-aligned cluster size.
+    use_dma = (accel.cluster_size % 128 == 0
+               and (_CAMERA_FETCH == "dma"
+                    or (_CAMERA_FETCH == "auto" and c_total > gsz)))
+    if c_total > gsz and not use_dma:
+        raise ValueError("camera mode requires resident kernel blocks "
+                         f"(scene has {c_total} clusters > budget {gsz}) "
+                         "or a 128-multiple cluster size for DMA fetch")
     offs = jax.lax.stop_gradient(jnp.asarray(offs, jnp.float32))
     o_lo, o_hi, d_lo, d_hi = _camera_tile_extents(
         n_tiles, offs, width, height, spp, scale, aspect, bh, bw,
@@ -3473,9 +3626,17 @@ def nearest_hit_camera_soa(
             o_lo, o_hi, d_lo, d_hi, accel.cluster_min, accel.cluster_max)
     early = (c_total > _EARLY_EXIT_MIN_CLUSTERS if early_exit is None
              else bool(early_exit))
-    blocks = (_fold_origin(accel.pmt_blocks, jnp.zeros(3, jnp.float32)),)
-    if n_attrs:
-        blocks = blocks + (accel.attr_blocks,)
+    folded = _fold_origin(accel.pmt_blocks, jnp.zeros(3, jnp.float32))
+    if use_dma:
+        # One combined (geometry | attr) table per visit DMA, row-padded
+        # to the sublane tile (see _pad_block_rows).
+        blocks = (_pad_block_rows(
+            jnp.concatenate([folded, accel.attr_blocks], axis=1)
+            if n_attrs else folded),)
+    else:
+        blocks = (folded,)
+        if n_attrs:
+            blocks = blocks + (accel.attr_blocks,)
     subtiles = SUBTILES
     pad_t = (-n_tiles) % subtiles
     if pad_t:  # padding tiles carry cnt 0 and cost one empty subtile each
@@ -3487,16 +3648,34 @@ def nearest_hit_camera_soa(
     camera = (width, height, spp, scale, aspect, bh, bw, subtiles, chunked)
     # Camera mode's ids ride as small per-step SMEM slices, so the SMEM
     # headroom for the lane-cull bounds table is ~2x the pack path's.
-    lc = (lane_cull and c_total <= 2 * _LANE_CULL_MAX_C
+    lc = (lane_cull and not use_dma and c_total <= 2 * _LANE_CULL_MAX_C
           and _flat_acc_auto(accel.cluster_size, n_attrs))
-    kern = functools.partial(
-        _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
-        variant="pmto", nearest=True, t_max=float("inf"),
-        n_attrs=n_attrs, unroll=1, per_ray_tmax=False, ray_tile=rt,
-        ids_mode="smem", early_exit=early, camera=camera,
-        ee_batch=_ee_batch_for(accel.cluster_size),
-        flat_acc=_flat_acc_auto(accel.cluster_size, n_attrs),
-        lane_cull=lc)
+    if use_dma:
+        kern = functools.partial(
+            _dma_walk_kernel, cluster_size=accel.cluster_size, eps=eps,
+            variant="pmto", nearest=True, t_max=float("inf"),
+            n_attrs=n_attrs, per_ray_tmax=False, ray_tile=rt,
+            ids_mode="smem", early_exit=early, camera=camera,
+            ee_batch=_ee_batch_for(accel.cluster_size))
+        scratch = [
+            pltpu.VMEM((blocks[0].shape[1], accel.cluster_size),
+                       blocks[0].dtype),
+            pltpu.VMEM((blocks[0].shape[1], accel.cluster_size),
+                       blocks[0].dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        bspace = pltpu.HBM
+    else:
+        kern = functools.partial(
+            _walk_kernel, cluster_size=accel.cluster_size, eps=eps,
+            variant="pmto", nearest=True, t_max=float("inf"),
+            n_attrs=n_attrs, unroll=1, per_ray_tmax=False, ray_tile=rt,
+            ids_mode="smem", early_exit=early, camera=camera,
+            ee_batch=_ee_batch_for(accel.cluster_size),
+            flat_acc=_flat_acc_auto(accel.cluster_size, n_attrs),
+            lane_cull=lc)
+        scratch = None
+        bspace = None
     bbox_c = (jnp.stack([jnp.min(accel.cluster_min, axis=0),
                          jnp.max(accel.cluster_max, axis=0)])
               if early else None)
@@ -3507,7 +3686,8 @@ def nearest_hit_camera_soa(
                          tnear=tnear if early else None,
                          n_tiles=n_tiles + pad_t, ray_tile=rt,
                          tile_base=tile_base if chunked else None,
-                         bbox=bbox_c, lane_bounds=lcb)
+                         bbox=bbox_c, lane_bounds=lcb,
+                         block_space=bspace, scratch_shapes=scratch)
     t = out[0][:, :n]
     slot = out[1][:, :n]
     attrs = out[2][:, :n] if n_attrs else None
@@ -3527,9 +3707,13 @@ def nearest_hit_camera_soa(
 def camera_mode_supported(accel: ClusterAccel,
                           with_attrs: bool = True) -> bool:
     """Whether `nearest_hit_camera_soa` can run for this accel: pmt blocks
-    built and (with attrs) resident within the camera-mode VMEM budget."""
+    built, and either resident within the camera-mode VMEM budget or
+    DMA-fetchable (lane-aligned cluster size — blocks then stay in HBM,
+    see _dma_walk_kernel)."""
     if accel is None or accel.pmt_blocks is None:
         return False
+    if accel.cluster_size % 128 == 0 and _CAMERA_FETCH in ("auto", "dma"):
+        return True
     n_attrs = accel.attr_blocks.shape[1] if with_attrs else 0
     gsz = _vmem_group_clusters(accel, "pmt", n_attrs,
                                budget=_CAMERA_BLOCK_BUDGET_BYTES)

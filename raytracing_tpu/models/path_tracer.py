@@ -107,11 +107,13 @@ def trace_paths(
             shared_origin=(o[0] if bounce == 0
                            and config.primary_shared_origin else None),
             ray_tile=(config.gi_ray_tile or None) if bounce > 0 else None,
-            lane_cull=config.gi_lane_cull and bounce > 0)
+            lane_cull=config.gi_lane_cull and bounce > 0,
+            wq=config.gi_wq and bounce > 0)
         sh = shade(mesh, acc_l, sun, o, d, h, config, attrs=attrs,
                    ray_tile=(config.gi_ray_tile or None) if bounce > 0
                    else None,
-                   lane_cull=config.gi_lane_cull and bounce > 0)
+                   lane_cull=config.gi_lane_cull and bounce > 0,
+                   wq=config.gi_wq and bounce > 0)
         hit = h.hit & alive
         # Miss -> sky, path ends.
         radiance = radiance + jnp.where(

@@ -261,19 +261,6 @@ def render_rays(
     sky = jnp.asarray(config.sky_color, dtype=o.dtype)
     bin_sh = (config.bin_shadow if isinstance(config.bin_shadow, bool)
               else gi_accel is None)  # "auto" (see RenderConfig)
-
-    # ---- forward sweep: trace + shade each level, spawn children --------
-    # Sort discipline: bounce level l is re-binned ONCE by (origin cell,
-    # direction cone) and then LIVES in that sorted frame — trace, sun
-    # shadow, area lights, and child spawning all run sorted (children
-    # therefore arrive origin-coherent at level l+1 before their own bin).
-    # Only the level's 3-column radiance is unsorted, during the backward
-    # sweep, to hand contributions back in the parent's frame. The
-    # previous design paid 4 payload sorts (~15 arrays) per level; this
-    # pays 2 (4 arrays).
-    levels = []
-    o_l, d_l = o, d
-    alive_l = None  # primary rays are all alive
     t_cap = None
     if config.gi_cap_frac > 0.0 and accel is not None:
         # Needs a PYTHON float (it parameterizes the compiled kernel).
@@ -287,7 +274,25 @@ def render_rays(
         except (jax.errors.TracerArrayConversionError,
                 jax.errors.ConcretizationTypeError):
             t_cap = None
-    for depth in range(1, max_depth + 1):
+
+    # Recursive wavefront (unrolled at trace time): each level traces +
+    # shades its batch and recurses into its children's subtree, which is
+    # wrapped in lax.cond on "any child alive" — a chunk whose rays all
+    # missed (sky chunks: ~60% of the reference frame) then skips every
+    # deeper level's spawn RNG, payload sorts, and traversal at RUNTIME.
+    # Exact: dead children enter the parent's estimator with zero weight
+    # (w_refl/w_diff are masked by hit), so the skipped subtree could
+    # only ever contribute zeros. Measured: the all-dead L2 glue (RNG +
+    # 3 sorts + dead walks at 720k rays) was ~25 ms/chunk — the
+    # light-chunk floor of the frame (exp/NOTES_r5_wq.md).
+    #
+    # Sort discipline (unchanged from the iterative form): bounce level l
+    # is re-binned ONCE by (origin cell, direction cone) and then LIVES
+    # in that sorted frame — trace, sun shadow, area lights, and child
+    # spawning all run sorted. Only the level's 3-column radiance is
+    # unsorted on the way out, handing contributions back in the parent's
+    # frame.
+    def level_radiance(o_l, d_l, alive_l, depth):
         n_l = o_l.shape[0]
         sidx = None
         # Coarse-cluster accel for the incoherent bounce levels, when the
@@ -353,8 +358,7 @@ def render_rays(
             direct = direct + jnp.where(h.hit[:, None], area, 0.0)
         has_r = depth < config.reflect_depth
         has_d = depth < config.diffuse_depth
-        info = {"hit": h.hit, "direct": direct, "has_r": has_r,
-                "has_d": has_d, "n_rays": n_l, "sidx": sidx}
+        contrib = direct
         if has_r or has_d:
             parts_o, parts_d, parts_a = [], [], []
             if has_r:
@@ -363,44 +367,45 @@ def render_rays(
                 parts_o.append(sh.pos)
                 parts_d.append(reflect(d_l, sh.n))
                 parts_a.append(h.hit & (sh.refl > 0.0))
-                info["w_refl"] = jnp.where(h.hit[:, None], sh.refl[:, None], 0.0)
+                w_refl = jnp.where(h.hit[:, None], sh.refl[:, None], 0.0)
             if has_d:
                 kd = jax.random.fold_in(key, depth)
-                wdirs = cosine_hemisphere(kd, sh.n, shape=(s,))  # [s, N, 3]
-                cosj = dot(jnp.broadcast_to(sh.n[None], wdirs.shape), wdirs)
+                wdirs = cosine_hemisphere(kd, sh.n, shape=(s,))  # [s,N,3]
+                cosj = dot(jnp.broadcast_to(sh.n[None], wdirs.shape),
+                           wdirs)
                 w_d = sh.color[None] * (cosj * sh.rough[None])[..., None]
-                info["w_diff"] = jnp.where(h.hit[None, :, None], w_d, 0.0)
-                parts_o.append(
-                    jnp.broadcast_to(sh.pos[None], (s, n_l, 3)).reshape(s * n_l, 3)
-                )
+                w_diff = jnp.where(h.hit[None, :, None], w_d, 0.0)
+                parts_o.append(jnp.broadcast_to(
+                    sh.pos[None], (s, n_l, 3)).reshape(s * n_l, 3))
                 parts_d.append(wdirs.reshape(s * n_l, 3))
-                parts_a.append(
-                    jnp.broadcast_to((h.hit & (sh.rough > 0.0))[None],
-                                     (s, n_l)).reshape(s * n_l)
-                )
-            o_l = jnp.concatenate(parts_o, axis=0)
-            d_l = jnp.concatenate(parts_d, axis=0)
-            alive_l = jnp.concatenate(parts_a, axis=0)
-        levels.append(info)
+                parts_a.append(jnp.broadcast_to(
+                    (h.hit & (sh.rough > 0.0))[None],
+                    (s, n_l)).reshape(s * n_l))
+            o_c = jnp.concatenate(parts_o, axis=0)
+            d_c = jnp.concatenate(parts_d, axis=0)
+            a_c = jnp.concatenate(parts_a, axis=0)
 
-    # ---- backward sweep: accumulate radiance bottom-up ------------------
-    # `rad` always arrives in the SPAWN order of the level below (its
-    # unsort undoes its bin), which is exactly this level's sorted frame.
-    rad = None
-    for info in reversed(levels):
-        n_l = info["n_rays"]
-        contrib = info["direct"]
-        off = 0
-        if info["has_r"]:
-            contrib = contrib + info["w_refl"] * rad[:n_l]
-            off = n_l
-        if info["has_d"]:
-            rd = rad[off:].reshape(s, n_l, 3)
-            contrib = contrib + jnp.mean(info["w_diff"] * rd, axis=0)
-        rad = jnp.where(info["hit"][:, None], contrib, sky)
-        if info["sidx"] is not None:
-            (rad,) = unsort(info["sidx"], rad)
+            def subtree(args):
+                return level_radiance(*args, depth + 1)
 
+            def dead(args):
+                return jnp.zeros((a_c.shape[0], 3), o_c.dtype)
+
+            rad_c = jax.lax.cond(jnp.any(a_c), subtree, dead,
+                                 (o_c, d_c, a_c))
+            off = 0
+            if has_r:
+                contrib = contrib + w_refl * rad_c[:n_l]
+                off = n_l
+            if has_d:
+                rd = rad_c[off:].reshape(s, n_l, 3)
+                contrib = contrib + jnp.mean(w_diff * rd, axis=0)
+        rad = jnp.where(h.hit[:, None], contrib, sky)
+        if sidx is not None:
+            (rad,) = unsort(sidx, rad)
+        return rad
+
+    rad = level_radiance(o, d, None, 1)
     return gamma_correct(rad, config.gamma)
 
 

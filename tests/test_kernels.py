@@ -472,7 +472,10 @@ def wq_setup(rng):
     from raytracing_tpu.kernels.traverse import rays_to_soa
 
     scene = build_default_scene(t=0.0)
-    accel = build_cluster_accel(scene.mesh, cluster_size=64,
+    # cs=128: the lane-aligned size the DMA fetch requires — with a
+    # smaller size the wq flag silently falls through to the dynamic
+    # path and these tests would compare it against itself.
+    accel = build_cluster_accel(scene.mesh, cluster_size=128,
                                 variants=("pmt",))
     n = 2048
     o1 = np.zeros((n // 2, 3), np.float32)
@@ -526,14 +529,36 @@ def test_wq_anyhit_matches_dynamic(wq_setup):
 
 def test_wq_overflow_residual(wq_setup, monkeypatch):
     """Force tiny visit lists so incoherent tiles OVERFLOW (cnt > width):
-    the wq pass is then incomplete by construction and the residual
-    dynamic launch must restore exactness."""
+    the dma kernel's in-kernel full scan (and the grid impl's residual
+    launch) must restore exactness."""
     import raytracing_tpu.kernels.traverse as T
 
     _, accel, rays8, alive = wq_setup
     t0, s0, a0 = T.nearest_hit_attrs_soa(accel, rays8, interpret=True)
     monkeypatch.setattr(T, "_MAX_VISITS", 8)
     monkeypatch.setattr(T, "_SMEM_IDS_BUDGET_BYTES", 4 * 8 * 8 * 8)
+    for impl in ("dma", "grid"):
+        monkeypatch.setattr(T, "_WQ_IMPL", impl)
+        t1, s1, a1 = T.nearest_hit_attrs_soa(accel, rays8, interpret=True,
+                                             wq=True)
+        m = alive
+        np.testing.assert_array_equal(np.asarray(t0)[m],
+                                      np.asarray(t1)[m], err_msg=impl)
+        np.testing.assert_array_equal(np.asarray(s0)[m],
+                                      np.asarray(s1)[m], err_msg=impl)
+        np.testing.assert_array_equal(np.asarray(a0)[:, m],
+                                      np.asarray(a1)[:, m], err_msg=impl)
+
+
+def test_wq_gathered_refine_matches_dense(wq_setup, monkeypatch):
+    """The two phase-2.5 refinement forms — dense all-cluster mask vs
+    gathered candidate lists — must produce identical walks."""
+    import raytracing_tpu.kernels.traverse as T
+
+    _, accel, rays8, alive = wq_setup
+    t0, s0, a0 = T.nearest_hit_attrs_soa(accel, rays8, interpret=True,
+                                         wq=True)
+    monkeypatch.setattr(T, "_REFINE_DENSE_MAX_C", 0)  # force gathered
     t1, s1, a1 = T.nearest_hit_attrs_soa(accel, rays8, interpret=True,
                                          wq=True)
     m = alive
@@ -550,3 +575,28 @@ def test_resolve_backend_auto():
     assert resolve_backend("auto") == "cluster"
     for b in ("bruteforce", "cluster", "pallas"):
         assert resolve_backend(b) == b
+
+
+def test_camera_mode_dma_fetch_matches_resident(monkeypatch):
+    """Camera-mode DMA block fetch (blocks in HBM, double-buffered
+    per-visit copies) must be bit-identical to the resident walk."""
+    import raytracing_tpu.kernels.traverse as T
+    from raytracing_tpu.geometry.scene import build_default_scene
+    from raytracing_tpu.ops.sampling import stratified_offsets
+
+    w, h, spp = 64, 48, 2
+    scene = build_default_scene(t=0.0)
+    accel = build_cluster_accel(scene.mesh, cluster_size=128,
+                                variants=("pmt",))
+    offs = stratified_offsets(spp)
+    monkeypatch.setattr(T, "_CAMERA_FETCH", "resident")
+    t0, s0, a0 = T.nearest_hit_camera_soa(accel, offs, width=w, height=h,
+                                          spp=spp, interpret=True,
+                                          with_attrs=True)
+    monkeypatch.setattr(T, "_CAMERA_FETCH", "dma")
+    t1, s1, a1 = T.nearest_hit_camera_soa(accel, offs, width=w, height=h,
+                                          spp=spp, interpret=True,
+                                          with_attrs=True)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
