@@ -92,7 +92,10 @@ class RenderConfig:
     # the walk partition changes). 0 disables the auto build; it is also
     # skipped when the primary accel is already at least this coarse, or
     # when an explicit gi_accel is passed. Pallas backend only.
-    gi_cluster_size: int = 64
+    # 128 (not the round-4 64): the lane-aligned size the gi_wq DMA
+    # fetch requires, and measured equal-or-better since the per-visit
+    # fixed cost fell (exp/NOTES_r5_wq.md).
+    gi_cluster_size: int = 128
     # Culling-tile size (rays per tile) for the incoherent bounce
     # (depth>1) levels' nearest + shadow queries, pallas backend only.
     # Bounce rays diverge, so a 1024-ray tile's frustum balloons; smaller
@@ -115,8 +118,11 @@ class RenderConfig:
     # (exp/NOTES_r4_gi.md); visit lists are per-ray refined first
     # (_lane_refine_lists) so the queue holds only ENTERED clusters.
     # Exact either way (bit-identical to the dynamic kernel, including
-    # the overflow residual).
-    gi_wq: bool = False
+    # the overflow residual). Default ON: measured 1.641 -> 1.512 s on
+    # the reference frame with the 128-cluster gi accel
+    # (exp/NOTES_r5_wq.md); silently falls back to the dynamic kernels
+    # when the bounce accel's cluster size is not a multiple of 128.
+    gi_wq: bool = True
     # Visibility samples per spherical area light per shading point (only
     # used when the scene carries lights; see models/whitted.
     # area_light_term). More samples -> smoother penumbras.

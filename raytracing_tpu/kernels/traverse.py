@@ -2787,21 +2787,24 @@ def _walk_groups(accel, rp, eps, interpret, variant, nearest, t_max,
     cs = accel.cluster_size
     c_total = accel.num_clusters
     if wq and variant in ("pmt", "mt") and accel.pmt_blocks is not None:
-        if _WQ_IMPL == "dma" and cs % 128 == 0:
-            # DMA-prefetch walk: blocks stream from HBM, so there is NO
-            # residency requirement at any scene size. Requires the
-            # block minor dim (cluster size) lane-aligned: Mosaic cannot
-            # memref_slice a partial 128-lane tile out of the HBM table
-            # (cs=128 ties cs=64 on the dynamic GI walk anyway —
-            # exp/NOTES_r5_wq.md). Other sizes fall through to the
-            # dynamic kernels unchanged.
-            return _walk_dma(accel, rp, eps, interpret, variant, nearest,
-                             t_max, n_attrs, tmax_row=tmax_row,
-                             attr_kind=attr_kind,
-                             shared_origin=shared_origin,
-                             ray_tile=ray_tile, early_exit=early_exit)
-        if c_total <= _vmem_group_clusters(accel, "pmt", n_attrs,
-                                           attr_kind):
+        if _WQ_IMPL == "dma":
+            if cs % 128 == 0:
+                # DMA-prefetch walk: blocks stream from HBM, so there is
+                # NO residency requirement at any scene size. Requires
+                # the block minor dim (cluster size) lane-aligned: Mosaic
+                # cannot memref_slice a partial 128-lane tile out of the
+                # HBM table (cs=128 ties cs=64 on the dynamic GI walk
+                # anyway — exp/NOTES_r5_wq.md). Other sizes fall through
+                # to the dynamic kernels unchanged.
+                return _walk_dma(accel, rp, eps, interpret, variant,
+                                 nearest, t_max, n_attrs,
+                                 tmax_row=tmax_row, attr_kind=attr_kind,
+                                 shared_origin=shared_origin,
+                                 ray_tile=ray_tile, early_exit=early_exit)
+            # dma selected but unavailable -> the DYNAMIC path, not the
+            # grid experiment (which is slower than dynamic).
+        elif c_total <= _vmem_group_clusters(accel, "pmt", n_attrs,
+                                             attr_kind):
             # Grid-impl work queue (the measurement variant): requires a
             # VMEM-sized block table for the overflow residual's resident
             # launch; bigger scenes fall through.
