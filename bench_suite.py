@@ -40,6 +40,7 @@ import argparse
 import json
 import os
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -131,11 +132,16 @@ def bench_backward_over_forward(scene, accel, cfg, lights=None):
 
 
 def bench_large_scene(on_tpu):
-    """Primary nearest-hit rays/s on the subdivided teapot (404k / 1.6M
-    triangles) through camera mode (in-kernel ray derivation + 2-stage
-    refined supertile culling) — BASELINE config 4. Cluster sizes per
-    scale from the round-3 sweep (exp/r3_large*.py): 64 at 404k, 128 at
-    1.6M (the largest whose pmt table stays VMEM-resident)."""
+    """Primary nearest-hit rays/s on the subdivided teapot (404k / 1.6M /
+    6.4M triangles) through camera mode (in-kernel ray derivation +
+    2-stage refined supertile culling) — BASELINE config 4. Cluster sizes
+    per scale from the sweeps (exp/r3_large*.py, exp/r5_large.py): 64 at
+    404k; 128 at 1.6M (resident — measured faster than the DMA fetch
+    when the table fits) and at 6.4M, where the 1.6 GB pmt table CANNOT
+    be VMEM-resident and the round-5 DMA block fetch is what makes the
+    scene renderable at all. The accel rides as a jit ARGUMENT here: a
+    closure-captured table gets constant-folded into the remote compile
+    request, which has a size limit (HTTP 413 at the 6.4M scale)."""
     from raytracing_tpu.geometry.scene import subdivided_teapot_mesh
     from raytracing_tpu.kernels.traverse import nearest_hit_camera_soa
     from raytracing_tpu.ops.sampling import stratified_offsets
@@ -144,8 +150,20 @@ def bench_large_scene(on_tpu):
     n = w * h * spp
     offs0 = jnp.asarray(np.asarray(stratified_offsets(spp)))
 
+    @partial(jax.jit, static_argnums=(3,))
+    def step(acc, c, offs, interp):
+        of = offs + c * 1e-12
+        t, _ = nearest_hit_camera_soa(acc, of, width=w, height=h,
+                                      spp=spp, interpret=interp)
+        hit = jnp.isfinite(t)
+        return jnp.sum(t, where=hit) * 1e-20, jnp.sum(hit)
+
     out = {}
-    for levels, tag, cs in ((3, "404k", 64), (4, "1m6", 128)):
+    scales = [(3, "404k", 64), (4, "1m6", 128)]
+    if on_tpu:
+        scales.append((5, "6m4", 128))  # DMA-fetch territory; CPU
+        # interpret at this scale would take hours.
+    for levels, tag, cs in scales:
         t0 = time.perf_counter()
         mesh = subdivided_teapot_mesh(levels=levels)
         t1 = time.perf_counter()
@@ -155,15 +173,8 @@ def bench_large_scene(on_tpu):
         jax.block_until_ready(accel.cluster_min)
         _emit(f"accel_build_{tag}", time.perf_counter() - t1, "s")
 
-        @jax.jit
-        def step(c, offs):
-            of = offs + c * 1e-12
-            t, _ = nearest_hit_camera_soa(accel, of, width=w, height=h,
-                                          spp=spp, interpret=not on_tpu)
-            hit = jnp.isfinite(t)
-            return jnp.sum(t, where=hit) * 1e-20, jnp.sum(hit)
-
-        s, hits = jax.block_until_ready(step(jnp.float32(0.0), offs0))
+        s, hits = jax.block_until_ready(
+            step(accel, jnp.float32(0.0), offs0, not on_tpu))
         assert 0.05 < float(hits) / n < 0.95, float(hits) / n
         best = float("inf")
         iters = 10 if on_tpu else 1
@@ -171,7 +182,7 @@ def bench_large_scene(on_tpu):
             st = s
             t0 = time.perf_counter()
             for _ in range(iters):
-                st, _ = step(st, offs0)
+                st, _ = step(accel, st, offs0, not on_tpu)
             jax.block_until_ready(st)
             best = min(best, (time.perf_counter() - t0) / iters)
         out[tag] = n / best
@@ -454,7 +465,7 @@ def main():
                     help="measure just the whitted frame records (section "
                          "3) — for refreshing those records in an existing "
                          "artifact without repaying the whole suite")
-    ap.add_argument("--out", default="BENCH_SUITE_r04.json")
+    ap.add_argument("--out", default="BENCH_SUITE_r05.json")
     args = ap.parse_args()
     global OUT_PATH
     OUT_PATH = args.out

@@ -285,7 +285,8 @@ _SUPERTILE_MIN_C = 2048
 
 
 def _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi, cluster_min,
-                              cluster_max, t_cap=None, extra_mask=None):
+                              cluster_max, t_cap=None, extra_mask=None,
+                              width_floor=None):
     c = cluster_min.shape[0]
     if _SUPERCELL_MIN_C is not None and c > _SUPERCELL_MIN_C:
         g = _SUPERCELL_G
@@ -317,12 +318,13 @@ def _visit_lists_from_extents(o_lo, o_hi, d_lo, d_hi, cluster_min,
         return ids.astype(jnp.int32), tnear, cnt_s * g
     return _visit_lists_single(o_lo, o_hi, d_lo, d_hi, cluster_min,
                                cluster_max, t_cap=t_cap,
-                               extra_mask=extra_mask)
+                               extra_mask=extra_mask,
+                               width_floor=width_floor)
 
 
 def _visit_lists_single(o_lo, o_hi, d_lo, d_hi, cluster_min,
                         cluster_max, t_cap=None, entry_cost=1,
-                        extra_mask=None):
+                        extra_mask=None, width_floor=None):
     # All arrays here are kept 2-D [nt, C] (clusters on the lane axis) by
     # unrolling the xyz loop in Python: a fused [nt, C, 3] formulation pads
     # its minor dim 3 -> 128 in every materialized intermediate (measured
@@ -379,6 +381,11 @@ def _visit_lists_single(o_lo, o_hi, d_lo, d_hi, cluster_min,
     # the whole traversal), so buy wider lists even when it forces
     # chunked launches.
     floor = _MAX_VISITS if c * entry_cost <= 2048 else 3 * _MAX_VISITS
+    if width_floor is not None:
+        # Caller knows wider lists are cheap for its launch mode (camera
+        # mode: per-step SMEM slices, no whole-array residency) and that
+        # overflow full-scans are catastrophic at its cluster count.
+        floor = width_floor
     # entry_cost > 1 (supercell mode): every selected id expands to
     # entry_cost list entries downstream, so both the floor and the SMEM
     # budget are expressed in FINAL entries and divided back down here.
@@ -3486,7 +3493,16 @@ def nearest_hit_camera_soa(
     o_lo, o_hi, d_lo, d_hi = _camera_tile_extents(
         n_tiles, offs, width, height, spp, scale, aspect, bh, bw,
         tile0=tile_base if chunked else 0)
-    g = 1 if chunked else _supertile_group(c_total)
+    # Very large cluster sets (the DMA-fetch scales): skip supertile
+    # pooling — its ~2.3x list inflation makes pooled lists overflow,
+    # and ONE overflow tile's full scan costs C * ~2.6 us (9.8 s/frame
+    # observed at 6.4M tris) while the unpooled phase 2 measures ~6 ms
+    # total there — and widen the per-tile lists instead (camera lists
+    # ride per-step SMEM slices, so width is cheap; 6.4M max exact count
+    # measured 562 < 1024).
+    big_c = c_total > 16384
+    g = 1 if (chunked or big_c) else _supertile_group(c_total)
+    wf = min(c_total, 1024) if big_c else None
     nby, nbx = height // bh, width // bw
     # Pooling group: a supertile is a gy x gx BLOCK NEIGHBORHOOD covering
     # a constant ~32x32-pixel footprint, so phase 1's pooled row count —
@@ -3626,7 +3642,8 @@ def nearest_hit_camera_soa(
         cnt = ungrp(cnt2[:, :, None], 1)[:, 0]
     else:
         ids, tnear, cnt = _visit_lists_from_extents(
-            o_lo, o_hi, d_lo, d_hi, accel.cluster_min, accel.cluster_max)
+            o_lo, o_hi, d_lo, d_hi, accel.cluster_min, accel.cluster_max,
+            width_floor=wf)
     early = (c_total > _EARLY_EXIT_MIN_CLUSTERS if early_exit is None
              else bool(early_exit))
     folded = _fold_origin(accel.pmt_blocks, jnp.zeros(3, jnp.float32))
