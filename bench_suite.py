@@ -350,6 +350,10 @@ def bench_virtual_scaling():
 _TWO_PROC_SNIPPET = r'''
 import json, os, sys, time
 import jax
+# The env var alone is NOT enough on this image: sitecustomize re-prepends
+# the axon TPU platform, and a worker grabbing the (exclusive) tunnel both
+# breaks this bench and faults whatever the chip is running.
+jax.config.update("jax_platforms", "cpu")
 from raytracing_tpu.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 pid, port, nprocs, spp = (int(sys.argv[1]), int(sys.argv[2]),
@@ -462,9 +466,10 @@ def main():
     ap.add_argument("--skip-frame", action="store_true")
     ap.add_argument("--skip-large", action="store_true")
     ap.add_argument("--only-frame", action="store_true",
-                    help="measure just the whitted frame records (section "
-                         "3) — for refreshing those records in an existing "
-                         "artifact without repaying the whole suite")
+                    help="measure just the whitted frame + path tracer "
+                         "records (section 3) — for refreshing those "
+                         "records in an existing artifact without "
+                         "repaying the whole suite")
     ap.add_argument("--out", default="BENCH_SUITE_r05.json")
     args = ap.parse_args()
     global OUT_PATH
@@ -496,6 +501,7 @@ def main():
                 existing = json.load(f)
         OUT_PATH = None  # no incremental clobber; old artifact survives a crash
         bench_frame(scene, cfg, accel)
+        bench_path_tracer(scene, accel, on_tpu)
         fresh = {r["metric"]: r for r in RECORDS}
         merged = [fresh.pop(r["metric"], r) for r in existing]
         merged += list(fresh.values())
