@@ -370,10 +370,13 @@ from raytracing_tpu.parallel.distributed import render_distributed
 scene = build_default_scene(t=0.0)
 accel = build_cluster_accel(scene.mesh, cluster_size=16)
 # WEAK scaling: spp = nprocs keeps rays PER PROCESS fixed (each process
-# owns 4 virtual devices); the full default pipeline (reflect 4, 10-ray
-# diffuse) keeps each shard compute-dominated.
+# owns 4 virtual devices). A slightly lightened pipeline (reflect 3,
+# 6-ray diffuse) keeps each shard compute-dominated (t1 ~ seconds) while
+# holding the CPU XLA compile of the distributed program to minutes —
+# the full default pipeline compiled for 40+ minutes per mesh size.
 cfg = RenderConfig(width=128, height=128, samples_per_pixel=spp,
-                   backend="cluster", chunk_size=8192)
+                   backend="cluster", chunk_size=8192,
+                   reflect_depth=3, diffuse_scatter=6)
 
 def sync():
     if nprocs > 1:
@@ -441,7 +444,7 @@ def bench_two_process_scaling():
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             for i in range(nprocs)
         ]
-        outs = [p.communicate(timeout=2400)[0] for p in procs]
+        outs = [p.communicate(timeout=5400)[0] for p in procs]
         for p, out in zip(procs, outs):
             if p.returncode != 0:
                 raise RuntimeError(out[-2000:])
