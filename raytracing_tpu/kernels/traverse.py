@@ -2624,9 +2624,11 @@ def _walk_dma(accel, rp, eps, interpret, variant, nearest, t_max, n_attrs,
               tmax_row=None, attr_kind="shade", shared_origin=None,
               ray_tile=RAY_TILE, early_exit=None):
     """DMA-prefetch traversal (see `_dma_walk_kernel`): phase 1 frustum
-    lists, phase 2.5 per-ray entered refinement (`_lane_refine_lists` —
-    non-entered visits would cost full intersections here, there is no
-    in-loop cond to skip them), then ONE launch of the double-buffered
+    lists, phase 2.5 per-ray entered refinement (non-entered visits would
+    cost full intersections here, there is no in-loop cond to skip
+    them) — the gather-free dense form (`_refine_dense`) below
+    `_REFINE_DENSE_MAX_C` clusters, the gathered-candidate form
+    (`_lane_refine_lists`) above — then ONE launch of the double-buffered
     dynamic walk over the refined lists with the combined block table
     left in HBM. Overflow tiles full-scan in-kernel (streaming makes
     that legal at any C); the batched front-to-back early exit rides the
