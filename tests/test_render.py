@@ -271,3 +271,37 @@ def test_render_camera_mode_matches_pack_path(default_scene, monkeypatch):
                           key=jax.random.PRNGKey(5)))
     assert np.isfinite(a).all()
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_bin_reflect_levels_knob(default_scene):
+    """bin_reflect_levels toggles the pure-reflect levels' re-bin — a
+    pure performance knob: the bin permutation is undone before radiance
+    accumulation and no RNG is drawn at pure-reflect levels, so the
+    image must match exactly."""
+    cfg = small_cfg(width=16, height=16, backend="pallas",
+                    chunk_size=16 * 16, reflect_depth=3, diffuse_depth=2,
+                    diffuse_scatter=2)
+    accel = build_cluster_accel(default_scene.mesh, cluster_size=16)
+    a = np.asarray(render(default_scene, cfg, accel=accel,
+                          key=jax.random.PRNGKey(5)))
+    b = np.asarray(render(default_scene,
+                          cfg.replace(bin_reflect_levels=False),
+                          accel=accel, key=jax.random.PRNGKey(5)))
+    assert np.isfinite(b).all()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_gi_wq_knob(default_scene):
+    """gi_wq routes bounce-level nearest + shadow queries through the
+    DMA-prefetch walk (per-ray refined lists, HBM block table) — must be
+    bit-identical to the dynamic kernels through the full renderer."""
+    cfg = small_cfg(width=16, height=16, backend="pallas",
+                    chunk_size=16 * 16, reflect_depth=2, diffuse_depth=2,
+                    diffuse_scatter=2, gi_cluster_size=128)
+    accel = build_cluster_accel(default_scene.mesh, cluster_size=16)
+    a = np.asarray(render(default_scene, cfg.replace(gi_wq=False),
+                          accel=accel, key=jax.random.PRNGKey(5)))
+    b = np.asarray(render(default_scene, cfg, accel=accel,
+                          key=jax.random.PRNGKey(5)))
+    assert np.isfinite(b).all()
+    np.testing.assert_array_equal(a, b)
