@@ -32,6 +32,7 @@ from raytracing_tpu.accel.packets import build_cluster_accel
 from raytracing_tpu.geometry.scene import build_default_scene
 from raytracing_tpu.kernels.traverse import nearest_hit_camera_soa
 from raytracing_tpu.ops.sampling import stratified_offsets
+from raytracing_tpu.utils.timing import sync
 
 BASELINE_RAYS_PER_S = 1e9
 
@@ -94,14 +95,18 @@ def measure() -> dict:
         return jnp.sum(of) * 1e-20, jnp.int32(0)
 
     def chain(f, iters):
-        s, hits = jax.block_until_ready(f(jnp.float32(0.0), offs0))
+        # sync (a host readback), NOT block_until_ready: the latter has
+        # been observed to return before execution completes on this
+        # runtime (utils/timing.py docstring, point 2) — it would time
+        # the enqueue, not the traversal.
+        s, hits = sync(f(jnp.float32(0.0), offs0))
         best = float("inf")
         for _ in range(3):
             st = s
             t0 = time.perf_counter()
             for _ in range(iters):
                 st, _ = f(st, offs0)
-            jax.block_until_ready(st)
+            sync(st)
             best = min(best, (time.perf_counter() - t0) / iters)
         return best, hits
 

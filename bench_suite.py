@@ -47,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raytracing_tpu.utils.cache import enable_persistent_cache
+from raytracing_tpu.utils.timing import sync
 
 enable_persistent_cache()
 
@@ -115,14 +116,14 @@ def bench_backward_over_forward(scene, accel, cfg, lights=None):
         return c + 1 + ((jnp.abs(loss) + g) * 1e-20).astype(jnp.int32)
 
     def chain(step, iters=8):
-        c0 = jax.block_until_ready(step(jnp.int32(0)))
+        c0 = sync(step(jnp.int32(0)))
         best = float("inf")
         for _ in range(3):
             s = c0
             t0 = time.perf_counter()
             for _ in range(iters):
                 s = step(s)
-            jax.block_until_ready(s)
+            sync(s)
             best = min(best, (time.perf_counter() - t0) / iters)
         return best
 
@@ -170,11 +171,10 @@ def bench_large_scene(on_tpu):
         _emit(f"mesh_gen_{tag}", t1 - t0, "s")
         accel = build_cluster_accel(mesh, cluster_size=cs,
                                     variants=("pmt",))
-        jax.block_until_ready(accel.cluster_min)
+        sync(accel.cluster_min)
         _emit(f"accel_build_{tag}", time.perf_counter() - t1, "s")
 
-        s, hits = jax.block_until_ready(
-            step(accel, jnp.float32(0.0), offs0, not on_tpu))
+        s, hits = sync(step(accel, jnp.float32(0.0), offs0, not on_tpu))
         assert 0.05 < float(hits) / n < 0.95, float(hits) / n
         best = float("inf")
         iters = 10 if on_tpu else 1
@@ -183,7 +183,7 @@ def bench_large_scene(on_tpu):
             t0 = time.perf_counter()
             for _ in range(iters):
                 st, _ = step(accel, st, offs0, not on_tpu)
-            jax.block_until_ready(st)
+            sync(st)
             best = min(best, (time.perf_counter() - t0) / iters)
         out[tag] = n / best
         _emit(f"rays_per_s_{tag}", n / best, "rays/s")
@@ -202,10 +202,10 @@ def bench_path_tracer(scene, accel, on_tpu):
                        backend="pallas" if on_tpu else "cluster",
                        chunk_size=131072)
     pt = PathTracerConfig(max_bounces=4, samples_per_pixel=64)
-    img = jax.block_until_ready(pt_render(scene, cfg, pt, accel=accel))
+    img = sync(pt_render(scene, cfg, pt, accel=accel))
     t0 = time.perf_counter()
-    img = jax.block_until_ready(
-        pt_render(scene, cfg, pt, accel=accel, key=jax.random.PRNGKey(1)))
+    img = sync(pt_render(scene, cfg, pt, accel=accel,
+                         key=jax.random.PRNGKey(1)))
     dt = time.perf_counter() - t0
     _emit("path_tracer_config3_seconds", dt, "s")
     _emit("path_tracer_config3_paths_per_s",
@@ -221,13 +221,12 @@ def bench_frame(scene, cfg, accel, iters=2):
     default and demonstrated nothing (round-4 verdict weak #4)."""
 
     def time_frame(c, **kw):
-        img = jax.block_until_ready(render(scene, c, accel=accel, **kw))
+        img = sync(render(scene, c, accel=accel, **kw))
         best = float("inf")
         for k in range(iters):
             t0 = time.perf_counter()
-            img = jax.block_until_ready(
-                render(scene, c, accel=accel,
-                       key=jax.random.PRNGKey(k + 1), **kw))
+            img = sync(render(scene, c, accel=accel,
+                              key=jax.random.PRNGKey(k + 1), **kw))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -255,13 +254,12 @@ def bench_scaling(scene, cfg, accel):
         dmesh = make_device_mesh(n)
         sc = cfg.replace(width=256, height=256, samples_per_pixel=4,
                          backend=backend, diffuse_depth=0, reflect_depth=1)
-        img = jax.block_until_ready(
-            render_sharded(scene, sc, dmesh, accel=accel))
+        img = sync(render_sharded(scene, sc, dmesh, accel=accel))
         t0 = time.perf_counter()
         for k in range(3):
             img = render_sharded(scene, sc, dmesh, accel=accel,
                                  key=jax.random.PRNGKey(k))
-        jax.block_until_ready(img)
+        sync(img)
         dt = (time.perf_counter() - t0) / 3
         rays = 256 * 256 * 4
         results[n] = rays / dt / n  # per-device rays/s
