@@ -1,11 +1,15 @@
-"""Round-5 path-tracer decomposition: where do config-3's 5.8 s go?
+"""Round-5 path-tracer decomposition: where do config-3's ~6 s go?
 
-Times ONE 131072-ray chunk at spp=16 under ablations that isolate the
-per-sample state sort (16 flat arrays x 3 bounces) from the walks. The
-"nosort payloads" variant moves only (o, d, alive) through the re-bin
-(WRONG image — throughput/radiance/orig left unpermuted — but the sort
-network cost is exactly the production cost minus 8 payload columns),
-bounding what any column-shrinking rework could save.
+Times EACH of the five 131072-ray chunks of the production config-3
+frame (800x800, 64 spp, 4 bounces, chunk_size=131072) at spp=8, then
+runs knob ablations on the BUSIEST chunk. An earlier version of this
+harness measured only chunk 0 — the top fifth of the frame, which is
+almost all sky (paths die at bounce 0) — and concluded binning was a
+30% loss; that conclusion was an artifact of the dead wavefront, not a
+property of the workload. Per-chunk numbers below show the real mix.
+
+Timing uses utils.timing.sync (host readback) — block_until_ready
+returns early on this runtime (utils/timing.py docstring).
 
 Run from repo root: timeout ... python - < exp/r5_pt.py
 """
@@ -27,12 +31,14 @@ from raytracing_tpu.models.camera import camera_rays_for_ids
 from raytracing_tpu.models import path_tracer as ptm
 from raytracing_tpu.models.whitted import _auto_gi_accel
 
-SPP = 16
+SPP = 8
 CHUNK = 131072
+R = 800 * 800
 
 
-def time_chunk(scene, accel, gi_accel, cfg, pt, label, iters=2):
-    ids = jnp.arange(CHUNK, dtype=jnp.int32)
+def time_chunk(scene, accel, gi_accel, cfg, pt, chunk_i, label, iters=2):
+    ids = jnp.minimum(chunk_i * CHUNK + jnp.arange(CHUNK, dtype=jnp.int32),
+                      R - 1)
     cam_cfg = cfg.replace(samples_per_pixel=1)
 
     @jax.jit
@@ -48,14 +54,14 @@ def time_chunk(scene, accel, gi_accel, cfg, pt, label, iters=2):
                               jax.random.split(key, SPP))
         return acc
 
-    r = sync(body(jax.random.PRNGKey(0)))
+    sync(body(jax.random.PRNGKey(0)))
     best = float("inf")
     for k in range(iters):
         t0 = time.perf_counter()
         sync(body(jax.random.PRNGKey(k + 1)))
         best = min(best, time.perf_counter() - t0)
-    print(f"{label:46s}: {best*1000:8.1f} ms "
-          f"({best/SPP*1000:6.2f} ms/sample)", flush=True)
+    print(f"{label:52s}: {best*1000:8.1f} ms ({best/SPP*1000:6.2f} "
+          f"ms/sample)", flush=True)
     return best
 
 
@@ -67,39 +73,23 @@ def main():
     gi_accel = _auto_gi_accel(scene.mesh, accel, cfg)
     pt = ptm.PathTracerConfig(max_bounces=4, samples_per_pixel=SPP)
 
-    time_chunk(scene, accel, gi_accel, cfg, pt, "default (gi_wq cs128)")
-    time_chunk(scene, accel, gi_accel, cfg.replace(bin_secondary=False),
-               pt, "bin_secondary=False (no sorts, bad tiles)")
-    time_chunk(scene, accel, gi_accel, cfg.replace(gi_wq=False), pt,
-               "gi_wq=False (dyn walk)")
-    time_chunk(scene, accel, None, cfg, pt, "gi_accel=None (fine clusters)")
-    import raytracing_tpu.models.path_tracer as m
-    orig_fn = m.trace_paths
-    # nosort-payloads hack: monkeypatch bin_sort inside trace_paths to
-    # move only the first 3 payloads (o, d, alive).
-    from raytracing_tpu.kernels import binning as B
-    real_bin_sort = B.bin_sort
+    times = []
+    for i in range(5):
+        times.append(time_chunk(scene, accel, gi_accel, cfg, pt, i,
+                                f"chunk {i} default (gi_wq cs128)"))
+    est = sum(times) / SPP * 64
+    print(f"-> config-3 device estimate: {est:.2f} s (prod committed "
+          f"adds dispatch)", flush=True)
+    busy = max(range(5), key=lambda i: times[i])
+    print(f"busiest chunk: {busy}", flush=True)
 
-    def lean_bin_sort(key, *payloads):
-        if len(payloads) == 6:  # the state sort
-            s, moved = real_bin_sort(key, *payloads[:3])
-            return s, moved + payloads[3:]
-        return real_bin_sort(key, *payloads)
-
-    m.bin_sort = lean_bin_sort
-    try:
-        pass
-    finally:
-        pass
-    # trace_paths imports bin_sort inside the function body from
-    # kernels.binning, so patch the module attr instead.
-    B.bin_sort = lean_bin_sort
-    try:
-        time_chunk(scene, accel, gi_accel, cfg.replace(gamma=2.2001),
-                   pt, "state sort moves only o/d/alive (TIMING ONLY)")
-    finally:
-        B.bin_sort = real_bin_sort
-        m.trace_paths = orig_fn
+    for label, c, g in [
+        ("bin_secondary=False", cfg.replace(bin_secondary=False), gi_accel),
+        ("gi_wq=False (dyn walk)", cfg.replace(gi_wq=False), gi_accel),
+        ("gi_accel=None (fine clusters)", cfg, None),
+        ("gi_early_exit=False", cfg.replace(gi_early_exit=False), gi_accel),
+    ]:
+        time_chunk(scene, accel, g, c, pt, busy, f"chunk {busy} {label}")
 
 
 main()
